@@ -1,0 +1,21 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh (SURVEY.md §4).
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = flags + ' --xla_force_host_platform_device_count=8'
+# Float32 matmuls for parity tests (CPU default anyway, but explicit).
+os.environ.setdefault('JAX_DEFAULT_MATMUL_PRECISION', 'highest')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,71 @@
+# Global Configuration
+#
+# API parity with the reference's ``config.py`` (reference: config.py:1-22):
+# the attribute names below are part of the public surface — everything in
+# this framework reads them via ``import weed_instance_segmentation_tpu.config``
+# exactly like the reference does with ``import config``.
+#
+# Values may be overridden by environment variables (WISTPU_<NAME>) so the
+# entry points stay edit-the-source compatible *and* scriptable.
+
+import os
+
+
+def _env(name, default, cast=str):
+    raw = os.environ.get(f'WISTPU_{name}')
+    if raw is None:
+        return default
+    if cast is bool:
+        return raw.lower() in ('1', 'true', 'yes')
+    if default is None and raw.lower() in ('none', ''):
+        return None
+    return cast(raw)
+
+
+# Training (reference: config.py:3-8)
+MODEL_CHECKPOINT = _env('MODEL_CHECKPOINT', 'facebook/mask2former-swin-large-coco-instance')
+BATCH_SIZE = _env('BATCH_SIZE', 2, int)
+LEARNING_RATE = _env('LEARNING_RATE', 5e-5, float)
+EPOCHS = _env('EPOCHS', 100, int)
+GRADIENT_ACCUMULATION = _env('GRADIENT_ACCUMULATION', 2, int)
+
+# Data (reference: config.py:10-17)
+MAX_INPUT_DIM = _env('MAX_INPUT_DIM', 1024, int)
+MAX_IMAGES = _env('MAX_IMAGES', None, int)  # None for full dataset, int for debugging
+DATASET_LIST = [
+    # 'sorghum_weed',
+    'pheno_bench',
+    # 'crop_weed',
+]
+if os.environ.get('WISTPU_DATASET_LIST'):
+    DATASET_LIST = os.environ['WISTPU_DATASET_LIST'].split(',')
+FORCE_PREPROCESSING = _env('FORCE_PREPROCESSING', False, bool)
+
+# Output Directories (reference: config.py:20-22)
+OUTPUT_DIR = _env('OUTPUT_DIR', os.path.expanduser('~/weed_instance_segmentation_tpu_output/'))
+MODELS_OUTPUT_DIR = OUTPUT_DIR + 'models/'
+
+# ---------------------------------------------------------------------------
+# TPU-native knobs (new; no reference equivalent). These control the static
+# shapes XLA compiles for and the device mesh layout.
+# ---------------------------------------------------------------------------
+
+# Maximum number of ground-truth instances per image after padding. Variable-
+# length per-image target lists (reference keeps Python lists of tensors) are
+# padded to this static bound with a validity mask so the loss is jittable.
+MAX_INSTANCES = _env('MAX_INSTANCES', 100, int)
+
+# Canonical padded input size fed to the model. The HF processor pads each
+# *batch* to its own max H×W (dynamic shapes — one XLA recompile per batch);
+# we instead pad every image to one static size derived from MAX_INPUT_DIM
+# rounded up to the processor's size_divisor.
+PAD_TO_MULTIPLE = _env('PAD_TO_MULTIPLE', 32, int)
+
+# Mixed precision for the compute path (params stay float32).
+COMPUTE_DTYPE = _env('COMPUTE_DTYPE', 'float32')
+
+# Device mesh: data-parallel axis size (None = all visible devices).
+DATA_PARALLEL = _env('DATA_PARALLEL', None, int)
+
+# Preprocessed-cache file format ('.npz' per sample, mirrors reference .pt).
+CACHE_SUFFIX = '.npz'

@@ -1,0 +1,191 @@
+"""Preprocessed cache + batching.
+
+Mirrors the reference's ``datasets/dataset_utils.py`` (PreprocessedDataset /
+collate_fn / process_and_save) with an ``.npz``-per-sample cache instead of
+``.pt`` and, on top, the TPU-specific static-shape batcher that turns the
+reference's ragged Python lists into fixed-size arrays a jitted train step
+can consume (SURVEY.md §7.3.2).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+
+from weed_instance_segmentation_tpu import config
+
+
+# ---------------------------------------------------------------------------
+# npz sample serialization
+# ---------------------------------------------------------------------------
+
+def _sample_to_npz_dict(item: dict) -> dict:
+    ids = sorted(item['id_to_semantic'].keys())
+    return {
+        'pixel_values': item['pixel_values'].astype(np.float32),
+        # binary masks — store compactly, restore float32 on load
+        'mask_labels': item['mask_labels'].astype(np.uint8),
+        'class_labels': item['class_labels'].astype(np.int64),
+        'target_size': np.asarray(item['target_size'], dtype=np.int64),
+        'original_map': item['original_map'].astype(np.int32),
+        'id_keys': np.asarray(ids, dtype=np.int64),
+        'id_vals': np.asarray([item['id_to_semantic'][k] for k in ids], dtype=np.int64),
+        'file_name': np.asarray(item['file_name']),
+    }
+
+
+def _npz_dict_to_sample(z) -> dict:
+    return {
+        'pixel_values': z['pixel_values'].astype(np.float32),
+        'mask_labels': z['mask_labels'].astype(np.float32),
+        'class_labels': z['class_labels'].astype(np.int64),
+        'target_size': tuple(int(v) for v in z['target_size']),
+        'original_map': z['original_map'],
+        'id_to_semantic': {int(k): int(v) for k, v in zip(z['id_keys'], z['id_vals'])},
+        'file_name': str(z['file_name']),
+    }
+
+
+class PreprocessedDataset:
+    """Loader for pre-processed per-sample ``.npz`` files (reference:
+    datasets/dataset_utils.py:7-33 with ``.pt``)."""
+
+    def __init__(self, processed_dir: str):
+        self.processed_dir = processed_dir
+        self.files = sorted(glob.glob(os.path.join(processed_dir, '*' + config.CACHE_SUFFIX)))
+        if len(self.files) == 0:
+            print(f'WARNING: No {config.CACHE_SUFFIX} files found in "{processed_dir}"')
+        else:
+            print(f'Loaded {len(self.files)} pre-processed samples from "{processed_dir}"')
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> dict:
+        with np.load(self.files[idx], allow_pickle=False) as z:
+            return _npz_dict_to_sample(z)
+
+
+class ConcatDataset:
+    """Minimal torch-free ConcatDataset (reference uses
+    torch.utils.data.ConcatDataset, train.py:133-135)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int):
+        if idx < 0:
+            idx += len(self)
+        ds = int(np.searchsorted(self._offsets, idx, side='right')) - 1
+        return self.datasets[ds][idx - int(self._offsets[ds])]
+
+
+class Subset:
+    """Minimal torch-free Subset."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.indices[idx]]
+
+
+def collate_fn(batch: list[dict]) -> dict:
+    """Reference-compatible ragged collation (datasets/dataset_utils.py:36-55):
+    stacks pixel_values (padding to the batch max if sizes differ), keeps the
+    per-sample label structures as lists."""
+    shapes = [item['pixel_values'].shape for item in batch]
+    max_h = max(s[1] for s in shapes)
+    max_w = max(s[2] for s in shapes)
+    pixel_values = np.zeros((len(batch), 3, max_h, max_w), dtype=np.float32)
+    for k, item in enumerate(batch):
+        _, h, w = item['pixel_values'].shape
+        pixel_values[k, :, :h, :w] = item['pixel_values']
+    return {
+        'pixel_values': pixel_values,
+        'mask_labels': [item['mask_labels'] for item in batch],
+        'class_labels': [item['class_labels'] for item in batch],
+        'target_sizes': [item['target_size'] for item in batch],
+        'original_maps': [item['original_map'] for item in batch],
+        'id_mappings': [item['id_to_semantic'] for item in batch],
+        'file_names': [item['file_name'] for item in batch],
+    }
+
+
+def pad_batch_static(
+    batch: list[dict],
+    pad_hw: tuple[int, int],
+    max_instances: int | None = None,
+) -> dict:
+    """TPU collation: one static shape for the whole run.
+
+    Returns arrays (no lists) so the jitted train step never recompiles:
+      pixel_values  (B, 3, H, W) float32
+      pixel_mask    (B, H, W)    float32   1=real pixel
+      mask_labels   (B, I, H, W) float32   binary, zero-padded
+      class_labels  (B, I)       int32     zero-padded
+      instance_valid(B, I)       float32   1=real instance
+    """
+    if max_instances is None:
+        max_instances = config.MAX_INSTANCES
+    ph, pw = pad_hw
+    b = len(batch)
+    pixel_values = np.zeros((b, 3, ph, pw), dtype=np.float32)
+    pixel_mask = np.zeros((b, ph, pw), dtype=np.float32)
+    mask_labels = np.zeros((b, max_instances, ph, pw), dtype=np.float32)
+    class_labels = np.zeros((b, max_instances), dtype=np.int32)
+    instance_valid = np.zeros((b, max_instances), dtype=np.float32)
+
+    for k, item in enumerate(batch):
+        _, h, w = item['pixel_values'].shape
+        if h > ph or w > pw:
+            raise ValueError(f'sample {k} ({h}x{w}) exceeds static pad size {pad_hw}')
+        pixel_values[k, :, :h, :w] = item['pixel_values']
+        pixel_mask[k, :h, :w] = 1.0
+        n = min(item['mask_labels'].shape[0], max_instances)
+        if item['mask_labels'].shape[0] > max_instances:
+            print(
+                f'WARNING: sample has {item["mask_labels"].shape[0]} instances, '
+                f'truncating to MAX_INSTANCES={max_instances}'
+            )
+        if n > 0:
+            mh, mw = item['mask_labels'].shape[1:]
+            mask_labels[k, :n, :mh, :mw] = item['mask_labels'][:n]
+            class_labels[k, :n] = item['class_labels'][:n]
+            instance_valid[k, :n] = 1.0
+    return {
+        'pixel_values': pixel_values,
+        'pixel_mask': pixel_mask,
+        'mask_labels': mask_labels,
+        'class_labels': class_labels,
+        'instance_valid': instance_valid,
+    }
+
+
+def process_and_save(dataset, output_dir: str) -> None:
+    """Materialize every sample of ``dataset`` into ``output_dir`` as one
+    ``.npz`` per image (reference: dataset_utils.py:56-70)."""
+    os.makedirs(output_dir, exist_ok=True)
+    print(f'\t\tSaving to "{output_dir}"')
+    total = len(dataset)
+    for i in range(total):
+        if (i + 1) % 10 == 0:
+            print(f'\t\tProcessed {i + 1}/{total} images...', end='\r')
+        item = dataset[i]
+        base_name = os.path.splitext(item['file_name'])[0]
+        save_path = os.path.join(output_dir, base_name + config.CACHE_SUFFIX)
+        arrays = _sample_to_npz_dict(item)
+        with open(save_path, 'wb') as f:
+            np.savez(f, **arrays)
+    print(f'\t\tProcessed {total}/{total} images')
