@@ -1,0 +1,168 @@
+"""Golden-tensor parity: our flax Mask2Former vs HF transformers==4.57.6
+(the exact model the reference delegates to — models/mask2former/train.py:7).
+
+Strategy (SURVEY.md §4): instantiate the HF torch model with a tiny config
+and random weights on CPU, convert the state dict with models.convert, and
+compare layer outputs / full forward numerics.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from weed_instance_segmentation_tpu.models.configuration import Mask2FormerConfig, SwinConfig
+from weed_instance_segmentation_tpu.models.convert import (
+    convert_hf_state_dict, convert_swin_backbone, torch_state_dict_to_numpy,
+)
+from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
+from weed_instance_segmentation_tpu.models.position_embedding import sine_position_embedding
+from weed_instance_segmentation_tpu.models.swin import SwinBackbone
+from weed_instance_segmentation_tpu.ops.deformable_attention import msda_reference
+from weed_instance_segmentation_tpu.ops.grid_sample import grid_sample_bilinear
+
+transformers = pytest.importorskip('transformers')
+from transformers.models.mask2former import modeling_mask2former as hf_m2f  # noqa: E402
+from transformers.models.swin.modeling_swin import SwinBackbone as HFSwinBackbone  # noqa: E402
+from transformers.models.swin.configuration_swin import SwinConfig as HFSwinConfig  # noqa: E402
+
+TINY_SWIN = dict(
+    embed_dim=16, depths=[1, 1, 1, 1], num_heads=[1, 2, 2, 2], window_size=4,
+    drop_path_rate=0.0, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+)
+
+
+def tiny_hf_swin_config():
+    return HFSwinConfig(
+        image_size=224, patch_size=4, num_channels=3,
+        out_features=['stage1', 'stage2', 'stage3', 'stage4'],
+        use_absolute_embeddings=False, **TINY_SWIN,
+    )
+
+
+def our_tiny_swin_config():
+    return SwinConfig(
+        embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2), window_size=4,
+        drop_path_rate=0.0,
+    )
+
+
+def test_grid_sample_matches_torch(rng):
+    value = rng.standard_normal((2, 3, 7, 9)).astype(np.float32)
+    grid = (rng.random((2, 5, 6, 2)).astype(np.float32) * 2.4 - 1.2)  # incl. out-of-range
+    want = torch.nn.functional.grid_sample(
+        torch.from_numpy(value), torch.from_numpy(grid),
+        mode='bilinear', padding_mode='zeros', align_corners=False,
+    ).numpy()
+    got = np.asarray(grid_sample_bilinear(jnp.asarray(value), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sine_position_embedding_matches_hf():
+    hf_pe = hf_m2f.Mask2FormerSinePositionEmbedding(num_pos_feats=16, normalize=True)
+    want = hf_pe(torch.Size([1, 32, 5, 7]), 'cpu', torch.float32)  # (1, 32, 5, 7)
+    want = want.flatten(2).transpose(1, 2)[0].numpy()  # (35, 32)
+    got = sine_position_embedding(5, 7, num_pos_feats=16)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_msda_matches_hf(rng):
+    b, heads, dim, q = 2, 2, 8, 11
+    shapes = [(6, 8), (3, 4), (2, 2)]
+    total = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((b, total, heads, dim)).astype(np.float32)
+    locs = rng.random((b, q, heads, 3, 4, 2)).astype(np.float32) * 1.2 - 0.1
+    weights = rng.random((b, q, heads, 3, 4)).astype(np.float32)
+    weights /= weights.sum(axis=(-1, -2), keepdims=True)
+
+    want = hf_m2f.multi_scale_deformable_attention(
+        torch.from_numpy(value), shapes, torch.from_numpy(locs), torch.from_numpy(weights)
+    ).numpy()
+    got = np.asarray(msda_reference(
+        jnp.asarray(value), tuple(shapes), jnp.asarray(locs), jnp.asarray(weights)
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_swin_backbone_matches_hf(rng):
+    torch.manual_seed(0)
+    hf = HFSwinBackbone(tiny_hf_swin_config()).eval()
+    sd = torch_state_dict_to_numpy(hf)
+    params = convert_swin_backbone(sd, our_tiny_swin_config())
+
+    x = rng.standard_normal((2, 3, 64, 96)).astype(np.float32)
+    with torch.no_grad():
+        want = [f.numpy() for f in hf(torch.from_numpy(x)).feature_maps]
+
+    model = SwinBackbone(our_tiny_swin_config())
+    got = model.apply(
+        {'params': params}, jnp.asarray(x.transpose(0, 2, 3, 1)), deterministic=True
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        g = np.asarray(g).transpose(0, 3, 1, 2)  # NHWC → NCHW
+        np.testing.assert_allclose(g, w, atol=2e-4)
+
+
+def _tiny_pair(num_labels=3):
+    torch.manual_seed(1)
+    hf_cfg = hf_m2f.Mask2FormerConfig(
+        backbone_config=tiny_hf_swin_config(),
+        feature_size=32, mask_feature_size=32, hidden_dim=32,
+        encoder_feedforward_dim=32, dim_feedforward=64,
+        encoder_layers=2, decoder_layers=4, num_attention_heads=2,
+        num_queries=10, num_labels=num_labels, dropout=0.0,
+    )
+    hf = hf_m2f.Mask2FormerForUniversalSegmentation(hf_cfg).eval()
+
+    cfg = Mask2FormerConfig(
+        backbone_config=our_tiny_swin_config(),
+        feature_size=32, mask_feature_size=32, hidden_dim=32,
+        encoder_feedforward_dim=32, dim_feedforward=64,
+        encoder_layers=2, decoder_layers=4, num_attention_heads=2,
+        num_queries=10, num_labels=num_labels,
+    )
+    params = convert_hf_state_dict(torch_state_dict_to_numpy(hf), cfg)
+    return hf, cfg, params
+
+
+def test_full_forward_matches_hf(rng):
+    hf, cfg, params = _tiny_pair()
+    x = rng.standard_normal((2, 3, 64, 96)).astype(np.float32)
+
+    with torch.no_grad():
+        want = hf(pixel_values=torch.from_numpy(x))
+
+    model = Mask2Former(cfg)
+    got = model.apply({'params': params}, jnp.asarray(x), deterministic=True)
+
+    np.testing.assert_allclose(
+        np.asarray(got.class_queries_logits),
+        want.class_queries_logits.numpy(), atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.masks_queries_logits),
+        want.masks_queries_logits.numpy(), atol=5e-4,
+    )
+
+
+def test_aux_outputs_match_hf(rng):
+    hf, cfg, params = _tiny_pair()
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(pixel_values=torch.from_numpy(x), output_auxiliary_logits=True)
+    model = Mask2Former(cfg)
+    got = model.apply({'params': params}, jnp.asarray(x), deterministic=True)
+
+    assert len(got.aux_class_queries_logits) == len(want.auxiliary_logits)
+    for g_cls, g_mask, aux in zip(
+        got.aux_class_queries_logits, got.aux_masks_queries_logits, want.auxiliary_logits
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g_cls), aux['class_queries_logits'].numpy(), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_mask), aux['masks_queries_logits'].numpy(), atol=5e-4
+        )
