@@ -1,0 +1,345 @@
+"""Mask2Former training criterion, fully on-device (SURVEY.md X7).
+
+Semantics mirror the HF loss the reference trains with
+(``transformers==4.57.6`` modeling_mask2former.py:246-797, 2240-2295):
+
+- Hungarian matcher over a cost of ``mask_weight``·pairwise-sigmoid-CE +
+  ``class_weight``·(−prob[target]) + ``dice_weight``·pairwise-dice, all
+  evaluated on ``train_num_points`` uniform points shared across pairs
+  (HF:414-484), cost clamped to ±1e10 with NaN→0 (HF:474-477).
+- loss_cross_entropy: CE over queries with no-object weight 0.1 (HF:547-580).
+- loss_mask / loss_dice: sigmoid-CE + dice on points chosen by uncertainty
+  sampling — oversample 3×, keep top-75% by −|logit|, re-draw the remaining
+  25% uniformly (HF:581-719).
+- Aux losses: the same dict per intermediate decoder layer with ``_{i}``
+  suffix (HF:768-775); weights applied by substring match (HF:2275-2280);
+  total = sum of the dict (HF:2282-2283).
+- ``num_masks`` normalization with cross-device all-reduce: the HF loss
+  all-reduces via accelerate when distributed (HF:782-796); here it is a
+  ``jax.lax.psum`` over the data-parallel mesh axis when ``axis_name`` is
+  given.
+
+TPU-first deviations from the torch implementation (documented per
+SURVEY.md §7.3):
+
+- **Ragged targets → static shapes**: per-image target lists are padded to
+  a static ``max_instances`` with a validity mask (SURVEY.md §7.3.2). All
+  terms respect the mask; padded target rows get a constant cost column so
+  they never perturb the optimal assignment of valid rows.
+- **Matching on device**: scipy's host LAP (HF:478, a device→host sync per
+  batch per layer) is replaced by ``ops.lap.linear_sum_assignment`` — a
+  jit-compatible Jonker–Volgenant solved entirely on-device, vmapped over
+  the batch.
+- **RNG**: point sampling uses ``jax.random`` — training parity with the
+  torch RNG is statistical, not bitwise (SURVEY.md §7.3.4); inference has
+  no RNG.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from weed_instance_segmentation_tpu.ops.grid_sample import grid_sample_bilinear
+from weed_instance_segmentation_tpu.ops.lap import linear_sum_assignment
+
+
+def pad_targets(
+    mask_labels: list,
+    class_labels: list,
+    max_instances: int,
+    mask_hw: tuple[int, int] | None = None,
+):
+    """Host-side: ragged per-image target lists → static padded arrays.
+
+    Args:
+        mask_labels: list of (N_i, H, W) float arrays (binary masks).
+        class_labels: list of (N_i,) int arrays.
+        max_instances: static pad size (N_i > max_instances is truncated
+            with a warning-free clamp — choose it ≥ dataset max).
+        mask_hw: optional fixed (H, W); defaults to the batch max
+            (HF pads to batch max with zeros — HF:530-545).
+
+    Returns:
+        target_masks (B, max_instances, H, W) float32,
+        target_classes (B, max_instances) int32,
+        target_valid (B, max_instances) bool.
+    """
+    import numpy as np
+
+    b = len(mask_labels)
+    if mask_hw is None:
+        hs = [m.shape[1] if m.ndim == 3 and m.shape[0] else m.shape[-2] for m in mask_labels]
+        ws = [m.shape[2] if m.ndim == 3 and m.shape[0] else m.shape[-1] for m in mask_labels]
+        mask_hw = (max(hs, default=1), max(ws, default=1))
+    h, w = mask_hw
+    tm = np.zeros((b, max_instances, h, w), np.float32)
+    tc = np.zeros((b, max_instances), np.int32)
+    tv = np.zeros((b, max_instances), bool)
+    for i, (m, c) in enumerate(zip(mask_labels, class_labels)):
+        m = np.asarray(m, np.float32)
+        c = np.asarray(c).reshape(-1)
+        n = min(len(c), max_instances)
+        if n:
+            tm[i, :n, : m.shape[-2], : m.shape[-1]] = m[:n]
+            tc[i, :n] = c[:n]
+            tv[i, :n] = True
+    return tm, tc, tv
+
+
+def _sample_points(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear point sampling matching HF ``sample_point`` (HF:246-275):
+    grid_sample(align_corners=False, zeros) at ``2·coords − 1``.
+
+    masks: (N, H, W); coords: (P, 2) in [0,1] (x, y). Returns (N, P)."""
+    grid = (2.0 * coords - 1.0)[None, None]  # (1, 1, P, 2)
+    out = grid_sample_bilinear(masks[None], grid)  # (1, N, 1, P)
+    return out[0, :, 0, :]
+
+
+def _pairwise_sigmoid_ce(pred_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> jnp.ndarray:
+    """(Q, P), (N, P) → (Q, N) mean-over-points BCE cost (HF:355-380)."""
+    p = pred_pts.shape[-1]
+    pos = jax.nn.softplus(-pred_pts)  # BCE(logit, 1)
+    neg = jax.nn.softplus(pred_pts)  # BCE(logit, 0)
+    return (pos / p) @ tgt_pts.T + (neg / p) @ (1.0 - tgt_pts).T
+
+
+def _pairwise_dice(pred_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> jnp.ndarray:
+    """(Q, P), (N, P) → (Q, N) dice cost (HF:331-352)."""
+    probs = jax.nn.sigmoid(pred_pts)
+    numerator = 2.0 * (probs @ tgt_pts.T)
+    denominator = probs.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
+    return 1.0 - (numerator + 1.0) / (denominator + 1.0)
+
+
+def hungarian_match(
+    masks_queries_logits: jnp.ndarray,
+    class_queries_logits: jnp.ndarray,
+    target_masks: jnp.ndarray,
+    target_classes: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    rng: jax.Array,
+    num_points: int,
+    class_weight: float,
+    mask_weight: float,
+    dice_weight: float,
+    point_coords: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched device-side matcher (HF:379-484).
+
+    Returns assigned_query (B, N_max) int32 — the query index matched to
+    each (possibly padded) target slot. Padded slots receive a constant-cost
+    column, so they soak up arbitrary leftover queries without changing the
+    optimum for valid slots. ``point_coords`` (B, P, 2) overrides the random
+    draw (for fixed-point parity tests — SURVEY.md §7.4.3).
+    """
+    b, _, _, _ = masks_queries_logits.shape
+    if point_coords is None:
+        point_coords = jax.random.uniform(rng, (b, num_points, 2))  # per image (HF:455)
+
+    def one(mask_logits, class_logits, tmasks, tclasses, tvalid, coords):
+        pred_probs = jax.nn.softmax(class_logits, axis=-1)  # (Q, L+1)
+        cost_class = -pred_probs[:, tclasses]  # (Q, N)
+        pred_pts = _sample_points(mask_logits, coords)  # (Q, P)
+        tgt_pts = _sample_points(tmasks, coords)  # (N, P)
+        cost = (
+            mask_weight * _pairwise_sigmoid_ce(pred_pts, tgt_pts)
+            + class_weight * cost_class
+            + dice_weight * _pairwise_dice(pred_pts, tgt_pts)
+        )
+        cost = jnp.clip(cost, -1e10, 1e10)
+        cost = jnp.nan_to_num(cost, nan=0.0)
+        # padded targets: constant column → assignment of valid rows unchanged
+        cost = jnp.where(tvalid[None, :], cost, 0.0)
+        return linear_sum_assignment(cost.T)  # rows = targets → (N,)
+
+    return jax.vmap(one)(
+        masks_queries_logits, class_queries_logits, target_masks, target_classes,
+        target_valid, point_coords,
+    )
+
+
+def _uncertainty_points(
+    pred_masks: jnp.ndarray,
+    rng: jax.Array,
+    num_points: int,
+    oversample_ratio: float,
+    importance_sample_ratio: float,
+) -> jnp.ndarray:
+    """Uncertainty-based point coords per mask (HF:675-719).
+
+    pred_masks: (N, H, W). Returns (N, num_points, 2)."""
+    n = pred_masks.shape[0]
+    num_sampled = int(num_points * oversample_ratio)
+    num_uncertain = int(importance_sample_ratio * num_points)
+    num_random = num_points - num_uncertain
+
+    r1, r2 = jax.random.split(rng)
+    coords = jax.random.uniform(r1, (n, num_sampled, 2))
+
+    def gather_one(masks_i, coords_i):
+        logits = _sample_points(masks_i[None], coords_i)[0]  # (num_sampled,)
+        return logits
+
+    point_logits = jax.vmap(gather_one)(pred_masks, coords)
+    uncertainty = -jnp.abs(point_logits)  # (N, num_sampled)
+    _, idx = jax.lax.top_k(uncertainty, num_uncertain)
+    picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    if num_random > 0:
+        extra = jax.random.uniform(r2, (n, num_random, 2))
+        picked = jnp.concatenate([picked, extra], axis=1)
+    return picked
+
+
+def mask2former_loss(
+    masks_queries_logits: jnp.ndarray,
+    class_queries_logits: jnp.ndarray,
+    target_masks: jnp.ndarray,
+    target_classes: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    num_labels: int,
+    no_object_weight: float = 0.1,
+    train_num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    class_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    axis_name: str | None = None,
+    loss_key_suffix: str = '',
+) -> dict[str, jnp.ndarray]:
+    """One layer's loss dict {loss_mask, loss_dice, loss_cross_entropy}
+    (unweighted — see :func:`total_loss` for the weight map)."""
+    b, q, _ = class_queries_logits.shape
+    n_max = target_masks.shape[1]
+
+    r_match, r_points = jax.random.split(rng)
+    assigned = hungarian_match(
+        masks_queries_logits, class_queries_logits, target_masks, target_classes,
+        target_valid, r_match, train_num_points, class_weight, mask_weight, dice_weight,
+    )  # (B, N_max)
+
+    # num_masks: total valid targets, all-reduced over the data axis,
+    # clamped ≥ 1 (HF:782-796)
+    num_masks = target_valid.sum().astype(jnp.float32)
+    if axis_name is not None:
+        num_masks = jax.lax.psum(num_masks, axis_name)
+        num_masks = num_masks / jax.lax.psum(1, axis_name)  # / world_size (HF:795)
+    num_masks = jnp.maximum(num_masks, 1.0)
+
+    # ---- loss_labels (HF:547-580) ---------------------------------------
+    # scatter matched classes into a (B, Q) map defaulting to no-object
+    target_map = jnp.full((b, q), num_labels, jnp.int32)
+    batch_idx = jnp.arange(b)[:, None].repeat(n_max, 1)
+    safe_assigned = jnp.clip(assigned, 0, q - 1)
+    # LAP assigns each target slot a distinct query; invalid slots write the
+    # no-object class, which is already the default.
+    scatter_classes = jnp.where(target_valid, target_classes, num_labels)
+    target_map = target_map.at[batch_idx, safe_assigned].set(scatter_classes)
+    log_probs = jax.nn.log_softmax(class_queries_logits, axis=-1)  # (B, Q, L+1)
+    picked = jnp.take_along_axis(log_probs, target_map[..., None], axis=-1)[..., 0]
+    class_w = jnp.concatenate(
+        [jnp.ones((num_labels,)), jnp.asarray([no_object_weight])]
+    )[target_map]
+    # torch CrossEntropyLoss(weight): mean = Σ w·nll / Σ w
+    loss_ce = -(class_w * picked).sum() / class_w.sum()
+
+    # ---- loss_masks (HF:581-640) -----------------------------------------
+    flat_pred = masks_queries_logits.reshape(b * q, *masks_queries_logits.shape[2:])
+    pair_idx = (batch_idx * q + safe_assigned).reshape(-1)
+    pred = flat_pred[pair_idx]  # (B·N_max, Hp, Wp)
+    tgt = target_masks.reshape(b * n_max, *target_masks.shape[2:])
+    valid = target_valid.reshape(-1)
+
+    coords = _uncertainty_points(
+        pred, r_points, train_num_points, oversample_ratio, importance_sample_ratio
+    )  # (B·N_max, P, 2) — stop-gradient region per HF no_grad (HF:624-634)
+    coords = jax.lax.stop_gradient(coords)
+
+    def sample_pair(p, t, c):
+        return _sample_points(p[None], c)[0], _sample_points(t[None], c)[0]
+
+    point_logits, point_labels = jax.vmap(sample_pair)(pred, tgt, coords)
+    point_labels = jax.lax.stop_gradient(point_labels)
+
+    bce = jax.nn.softplus(point_logits) - point_logits * point_labels
+    loss_mask = jnp.where(valid, bce.mean(-1), 0.0).sum() / num_masks
+
+    probs = jax.nn.sigmoid(point_logits)
+    numerator = 2.0 * (probs * point_labels).sum(-1)
+    denominator = probs.sum(-1) + point_labels.sum(-1)
+    dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+    loss_dice = jnp.where(valid, dice, 0.0).sum() / num_masks
+
+    s = loss_key_suffix
+    return {
+        f'loss_mask{s}': loss_mask,
+        f'loss_dice{s}': loss_dice,
+        f'loss_cross_entropy{s}': loss_ce,
+    }
+
+
+def total_loss(
+    outputs: Any,
+    target_masks: jnp.ndarray,
+    target_classes: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    num_labels: int,
+    no_object_weight: float = 0.1,
+    train_num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    class_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    use_auxiliary_loss: bool = True,
+    axis_name: str | None = None,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Weighted total loss over the final layer + all aux layers.
+
+    ``outputs`` is a ``models.mask2former.Mask2FormerOutput``. Returns
+    (scalar total, weighted per-key dict) — matching HF's substring-matched
+    weight map + sum-of-dict total (HF:2275-2283).
+    """
+    kw = dict(
+        num_labels=num_labels, no_object_weight=no_object_weight,
+        train_num_points=train_num_points, oversample_ratio=oversample_ratio,
+        importance_sample_ratio=importance_sample_ratio, class_weight=class_weight,
+        mask_weight=mask_weight, dice_weight=dice_weight, axis_name=axis_name,
+    )
+    layers = [(outputs.masks_queries_logits, outputs.class_queries_logits, '')]
+    if use_auxiliary_loss:
+        layers += [
+            (m, c, f'_{i}')
+            for i, (m, c) in enumerate(
+                zip(outputs.aux_masks_queries_logits, outputs.aux_class_queries_logits)
+            )
+        ]
+    losses: dict[str, jnp.ndarray] = {}
+    rngs = jax.random.split(rng, len(layers))
+    for r, (m, c, suffix) in zip(rngs, layers):
+        losses.update(
+            mask2former_loss(
+                m, c, target_masks, target_classes, target_valid, r,
+                loss_key_suffix=suffix, **kw,
+            )
+        )
+    weight_map = {
+        'loss_cross_entropy': class_weight,
+        'loss_mask': mask_weight,
+        'loss_dice': dice_weight,
+    }
+    weighted = {}
+    for key, value in losses.items():
+        for sub, w in weight_map.items():
+            if sub in key:
+                value = value * w
+        weighted[key] = value
+    return sum(weighted.values()), weighted
