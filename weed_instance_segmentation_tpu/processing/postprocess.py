@@ -1,0 +1,157 @@
+"""Instance-segmentation post-processing, device-side (SURVEY.md X9).
+
+Replicates HF ``post_process_instance_segmentation``
+(image_processing_mask2former.py:1069-1188) exactly, including the quirks
+SURVEY.md §2.5.5 flags for mask parity:
+
+- mask logits are bilinearly upsampled to a HARD-CODED (384, 384) before
+  scoring (HF:1122-1124);
+- scores = softmax(class logits)[:, :-1], flattened (Q·C) top-k with
+  k = num_queries (HF:1138-1141);
+- binary masks = logits > 0 at 384×384; mask score = mean sigmoid prob
+  inside the binary mask with +1e-6 (HF:1148-1151); final score =
+  class·mask score;
+- binary masks nearest-resized (torch legacy nearest = floor) to the
+  target size (HF:1156-1160);
+- sequential overwrite into an int id map starting at -1 background, ids
+  assigned 0,1,2,… in top-k order over kept queries only (HF:1162-1177);
+  empty (all-zero) masks are skipped even above threshold.
+
+TPU-first design: the per-query Python loop becomes a max-reduce — for
+each pixel the LAST kept query whose mask covers it wins (identical to the
+sequential overwrite); segments_info becomes fixed-size arrays + a
+validity mask instead of a Python list, so the whole function jits.
+Ordering note: HF uses ``topk(sorted=False)`` (order implementation-
+defined, in practice sorted); we use ``lax.top_k`` (sorted descending) —
+documented tie-ordering deviation per SURVEY.md §7.3.5.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weed_instance_segmentation_tpu.ops.resize import (
+    interpolate_bilinear, interpolate_nearest,
+)
+
+SCORE_RESOLUTION = (384, 384)  # HF:1122 — hard-coded for all models
+
+
+class InstanceSegmentationResult(NamedTuple):
+    """Fixed-size device-side result for one image (batch-leading when
+    batched): ``segmentation`` (H, W) int32 id map with -1 background;
+    per-slot arrays aligned with top-k order."""
+
+    segmentation: jnp.ndarray  # (H, W) int32, -1 = background
+    segment_ids: jnp.ndarray  # (Q,) int32, -1 for dropped slots
+    labels: jnp.ndarray  # (Q,) int32 class label per slot
+    scores: jnp.ndarray  # (Q,) float32 final score per slot
+    valid: jnp.ndarray  # (Q,) bool — slot kept
+    masks: jnp.ndarray  # (Q, H, W) bool binary masks at target size
+
+
+@partial(jax.jit, static_argnames=('target_size', 'threshold'))
+def post_process_instance_arrays(
+    class_queries_logits: jnp.ndarray,
+    masks_queries_logits: jnp.ndarray,
+    target_size: tuple[int, int],
+    threshold: float = 0.5,
+) -> InstanceSegmentationResult:
+    """Batched jit post-processing. Inputs (B, Q, C+1) and (B, Q, Hm, Wm);
+    returns batch-leading fixed-size arrays."""
+
+    def one(mask_cls, mask_pred):
+        num_queries, num_classes_p1 = mask_cls.shape
+        num_classes = num_classes_p1 - 1
+
+        mask_pred = interpolate_bilinear(mask_pred, SCORE_RESOLUTION)  # (Q,384,384)
+
+        scores = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]  # (Q, C)
+        flat_scores = scores.reshape(-1)
+        scores_per_image, topk_indices = jax.lax.top_k(flat_scores, num_queries)
+        labels_per_image = topk_indices % num_classes
+        query_indices = topk_indices // num_classes
+        mask_pred = mask_pred[query_indices]  # (Q, 384, 384)
+
+        pred_masks = (mask_pred > 0).astype(jnp.float32)
+        mask_scores = (jax.nn.sigmoid(mask_pred) * pred_masks).sum((-1, -2)) / (
+            pred_masks.sum((-1, -2)) + 1e-6
+        )
+        pred_scores = scores_per_image * mask_scores
+
+        binary = interpolate_nearest(pred_masks, target_size) == 1.0  # (Q, H, W) bool
+
+        keep = (pred_scores >= threshold) & binary.any((-1, -2))
+        # ids 0,1,2,… assigned in slot order over kept slots (HF:1171)
+        seg_ids = jnp.where(keep, jnp.cumsum(keep) - 1, -1).astype(jnp.int32)
+
+        # sequential overwrite: per pixel, the LAST kept covering slot wins
+        slot = jnp.arange(num_queries, dtype=jnp.int32)[:, None, None]
+        covering = jnp.where(keep[:, None, None] & binary, slot, -1)  # (Q, H, W)
+        last_slot = covering.max(axis=0)  # (H, W), -1 if none
+        segmentation = jnp.where(
+            last_slot >= 0, seg_ids[jnp.clip(last_slot, 0, num_queries - 1)], -1
+        ).astype(jnp.int32)
+
+        return InstanceSegmentationResult(
+            segmentation=segmentation,
+            segment_ids=seg_ids,
+            labels=labels_per_image.astype(jnp.int32),
+            scores=pred_scores.astype(jnp.float32),
+            valid=keep,
+            masks=binary,
+        )
+
+    return jax.vmap(one)(class_queries_logits, masks_queries_logits)
+
+
+def post_process_instance_segmentation(
+    outputs,
+    threshold: float = 0.5,
+    mask_threshold: float = 0.5,  # accepted for API parity (HF binarizes at logits>0)
+    overlap_mask_area_threshold: float = 0.8,  # API parity; unused like HF's instance path
+    target_sizes: list[tuple[int, int]] | None = None,
+    return_binary_maps: bool = False,
+) -> list[dict]:
+    """HF-compatible wrapper: list of {'segmentation', 'segments_info'}
+    per image (reference consumes this in models/metrics.py:58-86 and
+    inference.py:30)."""
+    class_logits = jnp.asarray(outputs.class_queries_logits)
+    mask_logits = jnp.asarray(outputs.masks_queries_logits)
+    b = class_logits.shape[0]
+    if target_sizes is None:
+        target_sizes = [SCORE_RESOLUTION] * b
+
+    results = []
+    # group by target size so each distinct size jits once
+    for i in range(b):
+        res = post_process_instance_arrays(
+            class_logits[i : i + 1], mask_logits[i : i + 1],
+            tuple(target_sizes[i]), float(threshold),
+        )
+        seg = np.asarray(res.segmentation[0])
+        valid = np.asarray(res.valid[0])
+        labels = np.asarray(res.labels[0])
+        scores = np.asarray(res.scores[0])
+        ids = np.asarray(res.segment_ids[0])
+        segments_info = [
+            {
+                'id': int(ids[j]),
+                'label_id': int(labels[j]),
+                'was_fused': False,
+                'score': round(float(scores[j]), 6),
+            }
+            for j in range(len(valid))
+            if valid[j]
+        ]
+        out = {'segmentation': seg.astype(np.float32), 'segments_info': segments_info}
+        if return_binary_maps:
+            masks = np.asarray(res.masks[0])[valid]
+            out['segmentation'] = masks.astype(np.float32)
+        results.append(out)
+    return results
