@@ -1,0 +1,142 @@
+"""Integration tests: the five entry points end-to-end on synthetic
+fixtures (SURVEY.md §4 — the reference has no tests; its de-facto
+validation is running these flows, so we automate exactly that).
+
+Run as subprocesses because the dataset ``definitions`` modules read their
+roots from env vars at import time.
+"""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fixtures import make_pheno_bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp('e2e')
+    rng = np.random.default_rng(0)
+    make_pheno_bench(str(root / 'pheno'), rng, n=2)
+    return root
+
+
+def _env(root):
+    env = dict(os.environ)
+    env.update({
+        'JAX_PLATFORMS': 'cpu',
+        # shared across test sessions: subprocesses reuse compiled programs
+        'JAX_COMPILATION_CACHE_DIR': '/tmp/wistpu_xla_cache',
+        'WISTPU_PHENO_BENCH_ROOT': str(root / 'pheno'),
+        'WISTPU_DATASET_LIST': 'pheno_bench',
+        'WISTPU_OUTPUT_DIR': str(root / 'out') + '/',
+        'WISTPU_EPOCHS': '1',
+        'WISTPU_MAX_IMAGES': '2',
+        'WISTPU_BATCH_SIZE': '2',
+        'WISTPU_MODEL_ARCH': 'tiny-test',
+        'WISTPU_SHORTEST_EDGE': '64',
+        'WISTPU_LONGEST_EDGE': '96',
+        'WISTPU_MAX_INSTANCES': '8',
+        'WISTPU_DATA_PARALLEL': '1',
+    })
+    return env
+
+
+def _run(module, env, timeout=1500):
+    # generous timeout: the first run on a cold XLA compilation cache pays
+    # several minutes of compile on a 1-core host; warm-cache runs are fast
+    proc = subprocess.run(
+        [sys.executable, '-m', module],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, f'{module} failed:\n{proc.stdout}\n{proc.stderr}'
+    return proc.stdout
+
+
+def test_train_then_eval_entry_points(workdir):
+    env = _env(workdir)
+
+    # --- train: preprocess → epoch → checkpoints → test phase → metadata ---
+    out = _run('weed_instance_segmentation_tpu.engine.train', env)
+    assert 'Saved new best model' in out
+
+    runs = sorted(glob.glob(str(workdir / 'out/models/mask2former_fine_tuned/*')))
+    assert runs, out
+    run_dir = runs[-1]
+    with open(os.path.join(run_dir, 'metadata.json')) as f:
+        metadata = json.load(f)
+    # the reference's metadata keys (train.py:281-311)
+    for key in (
+        'start_time', 'dataset_list', 'base_model', 'batch_size', 'learning_rate',
+        'epochs', 'gradient_accumulation', 'max_input_dim', 'preprocessing_time',
+        'data_and_model_loading_time', 'training_history', 'training_time',
+        'test_metrics', 'test_time', 'end_time', 'total_time',
+    ):
+        assert key in metadata, key
+    assert len(metadata['training_history']) == 1
+    assert np.isfinite(metadata['training_history'][0]['train_loss'])
+    assert 'map' in metadata['test_metrics']
+    for sub in ('best_model', 'final_model', 'train_state'):
+        assert os.path.isdir(os.path.join(run_dir, sub))
+    assert os.path.exists(os.path.join(run_dir, 'best_model/params.npz'))
+    assert os.path.exists(os.path.join(run_dir, 'best_model/preprocessor_config.json'))
+
+    model_id = os.path.relpath(os.path.join(run_dir, 'best_model'),
+                               str(workdir / 'out/models'))
+    env['WISTPU_MODEL_ID'] = model_id
+
+    # --- standalone test driver (C14) ---
+    out = _run('weed_instance_segmentation_tpu.engine.test', env)
+    assert 'mAP' in out
+
+    # --- single-image inference (C13) ---
+    env['WISTPU_IMAGE_PATH'] = str(workdir / 'pheno/test/images/test_000.png')
+    out = _run('weed_instance_segmentation_tpu.engine.inference', env)
+    assert 'Saved visualization' in out
+    assert os.path.exists(str(workdir / 'out/inference.png'))
+
+    # --- worst-prediction explorer (C15) ---
+    out = _run('weed_instance_segmentation_tpu.engine.show_worst_predictions', env)
+    assert 'Worst Predictions' in out
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_pretrained → load_pretrained preserves params bit-exactly, and
+    the train_state roundtrip restores opt_state + step."""
+    import jax.numpy as jnp
+
+    from weed_instance_segmentation_tpu.engine import checkpoint as ckpt
+    from weed_instance_segmentation_tpu.engine.model_utils import init_params
+    from weed_instance_segmentation_tpu.engine.steps import create_train_state
+    from weed_instance_segmentation_tpu.models.configuration import Mask2FormerConfig
+    from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
+
+    cfg = Mask2FormerConfig.tiny_test(num_labels=3)
+    model = Mask2Former(cfg)
+    params = init_params(model, cfg)
+    d = str(tmp_path / 'ckpt')
+    ckpt.save_pretrained(d, params, cfg)
+    cfg2, params2 = ckpt.load_pretrained(d)
+    assert cfg2.num_labels == 3
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state, tx = create_train_state(params, 1e-4, gradient_accumulation=2)
+    state = state._replace(step=jnp.int32(7))
+    d2 = str(tmp_path / 'train_ckpt')
+    ckpt.save_train_checkpoint(d2, state, extra={'epoch': 3})
+    fresh, _ = create_train_state(params, 1e-4, gradient_accumulation=2)
+    restored, meta = ckpt.load_train_checkpoint(d2, fresh)
+    assert int(restored.step) == 7
+    assert meta['epoch'] == 3
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

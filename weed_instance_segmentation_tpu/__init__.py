@@ -18,3 +18,24 @@ A from-scratch JAX / XLA / Pallas re-design of the capabilities of
 """
 
 __version__ = '0.1.0'
+
+# Persistent XLA compilation cache: entry points run as separate processes
+# (preprocess / train / test / inference — reference L5 layout), and every
+# process would otherwise re-compile the same programs. Must be set before
+# the first jax compilation; importing this package does it for all entry
+# points. Override with your own JAX_COMPILATION_CACHE_DIR.
+import os as _os
+
+_os.environ.setdefault(
+    'JAX_COMPILATION_CACHE_DIR',
+    _os.path.join(_os.path.expanduser('~'), '.cache', 'wistpu_xla'),
+)
+_os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
+# Honor JAX_PLATFORMS even when a site plugin (this image's axon TPU
+# bootstrap) force-registers its backend and overrides the config: re-assert
+# the user's explicit choice. No-op when the variable is unset.
+if _os.environ.get('JAX_PLATFORMS'):
+    import jax as _jax
+
+    _jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])

@@ -69,3 +69,14 @@ DATA_PARALLEL = _env('DATA_PARALLEL', None, int)
 
 # Preprocessed-cache file format ('.npz' per sample, mirrors reference .pt).
 CACHE_SUFFIX = '.npz'
+
+# Architecture when MODEL_CHECKPOINT is not a local checkpoint directory
+# (this environment has no network — the reference's from_pretrained download,
+# train.py:167, becomes: local dir if present, else fresh init of this arch).
+# One of: 'swin-tiny', 'swin-small', 'swin-base', 'swin-large', 'resnet50',
+# 'tiny-test'.
+MODEL_ARCH = _env('MODEL_ARCH', 'swin-large')
+
+# Processor geometry overrides (default: HF checkpoint values 800/1333).
+SHORTEST_EDGE = _env('SHORTEST_EDGE', 800, int)
+LONGEST_EDGE = _env('LONGEST_EDGE', 1333, int)

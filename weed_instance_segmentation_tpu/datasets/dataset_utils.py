@@ -175,10 +175,13 @@ def pad_batch_static(
 
 def process_and_save(dataset, output_dir: str) -> None:
     """Materialize every sample of ``dataset`` into ``output_dir`` as one
-    ``.npz`` per image (reference: dataset_utils.py:56-70)."""
+    ``.npz`` per image (reference: dataset_utils.py:56-70), plus a
+    ``_shapes.json`` sidecar so the static pad size for XLA is computed
+    without re-reading every array."""
     os.makedirs(output_dir, exist_ok=True)
     print(f'\t\tSaving to "{output_dir}"')
     total = len(dataset)
+    shapes = {}
     for i in range(total):
         if (i + 1) % 10 == 0:
             print(f'\t\tProcessed {i + 1}/{total} images...', end='\r')
@@ -188,4 +191,42 @@ def process_and_save(dataset, output_dir: str) -> None:
         arrays = _sample_to_npz_dict(item)
         with open(save_path, 'wb') as f:
             np.savez(f, **arrays)
+        shapes[base_name] = [
+            int(item['pixel_values'].shape[1]),
+            int(item['pixel_values'].shape[2]),
+            int(item['mask_labels'].shape[0]),
+        ]
+    with open(os.path.join(output_dir, SHAPES_SIDECAR), 'w') as f:
+        json.dump(shapes, f)
     print(f'\t\tProcessed {total}/{total} images')
+
+
+SHAPES_SIDECAR = '_shapes.json'
+
+
+def compute_static_pad_hw(processed_dirs: list[str], multiple: int | None = None) -> tuple[tuple[int, int], int]:
+    """((max H, max W) ceil'd to ``multiple``, max instance count) across the
+    given preprocessed dirs — the one static shape the train step compiles
+    for. Uses the ``_shapes.json`` sidecars; falls back to scanning arrays
+    for caches written before the sidecar existed."""
+    multiple = multiple or config.PAD_TO_MULTIPLE
+    max_h = max_w = max_i = 1
+    for d in processed_dirs:
+        sidecar = os.path.join(d, SHAPES_SIDECAR)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                shapes = json.load(f)
+            for h, w, n in shapes.values():
+                max_h, max_w, max_i = max(max_h, h), max(max_w, w), max(max_i, n)
+        else:
+            ds = PreprocessedDataset(d)
+            for k in range(len(ds)):
+                item = ds[k]
+                _, h, w = item['pixel_values'].shape
+                max_h, max_w = max(max_h, h), max(max_w, w)
+                max_i = max(max_i, item['mask_labels'].shape[0])
+
+    def ceil_to(v):
+        return int(-(-v // multiple) * multiple)
+
+    return (ceil_to(max_h), ceil_to(max_w)), max_i

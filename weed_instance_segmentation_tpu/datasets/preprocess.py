@@ -55,57 +55,68 @@ def build_processor() -> Mask2FormerImageProcessor:
     return Mask2FormerImageProcessor()
 
 
+def preprocess_dataset(dataset_name: str, processor, label2id: dict | None = None,
+                       force: bool | None = None) -> bool:
+    """Materialize one dataset's splits. Returns True if work was done,
+    False if the already-done sentinel short-circuited (reference
+    preprocess.py:24-28). ``label2id`` overrides the dataset's own map
+    (the train driver passes the unified map, train.py:100)."""
+    WeedDataset, ds_config = get_dataset_and_config(dataset_name)
+    force = config.FORCE_PREPROCESSING if force is None else force
+
+    if force and os.path.exists(ds_config.PROCESSED_DIR):
+        print(f'\tForce Preprocessing: Cleaning {ds_config.PROCESSED_DIR}...')
+        shutil.rmtree(ds_config.PROCESSED_DIR)
+
+    try:
+        os.makedirs(ds_config.PROCESSED_DIR, exist_ok=False)
+    except OSError:
+        print(f'\tDataset "{dataset_name}" already preprocessed, skipping...\n')
+        return False
+
+    label2id = label2id if label2id is not None else ds_config.LABEL2ID
+    if hasattr(ds_config, 'TRAIN_VAL_TEST_SPLIT'):
+        ratios = ds_config.TRAIN_VAL_TEST_SPLIT
+        print(f'\tNo predefined split found. Splitting dataset with ratios {ratios}...')
+        full_ds = WeedDataset(
+            image_folder_path=ds_config.IMG_DIR,
+            annotation_path=ds_config.ANNOTATIONS,
+            processor=processor,
+            label2id=label2id,
+        )
+        lengths = split_lengths(len(full_ds), ratios)
+        print(f'\tSplit sizes: Train={lengths[0]}, Val={lengths[1]}, Test={lengths[2]}')
+
+        perm = seeded_permutation(len(full_ds))
+        offsets = [0, lengths[0], lengths[0] + lengths[1], sum(lengths)]
+        names = ['Train', 'Validate', 'Test']
+        for i, name in enumerate(names):
+            if lengths[i] > 0:
+                subset = Subset(full_ds, perm[offsets[i] : offsets[i + 1]])
+                process_and_save(subset, output_dir=os.path.join(ds_config.PROCESSED_DIR, name))
+    else:
+        print(f'\tUsing predefined splits from {dataset_name} definitions.')
+        for name, img_dir, ann in [
+            ('Train', ds_config.TRAIN_IMG_DIR, ds_config.TRAIN_ANNOTATIONS),
+            ('Validate', ds_config.VAL_IMG_DIR, ds_config.VAL_ANNOTATIONS),
+            ('Test', ds_config.TEST_IMG_DIR, ds_config.TEST_ANNOTATIONS),
+        ]:
+            ds = WeedDataset(
+                image_folder_path=img_dir,
+                annotation_path=ann,
+                processor=processor,
+                label2id=label2id,
+            )
+            process_and_save(ds, output_dir=os.path.join(ds_config.PROCESSED_DIR, name))
+    return True
+
+
 def main() -> None:
     processor = build_processor()
     for dataset_name in config.DATASET_LIST:
         print(f'=== Processing Dataset: {dataset_name} ===')
-        WeedDataset, ds_config = get_dataset_and_config(dataset_name)
-
-        if config.FORCE_PREPROCESSING and os.path.exists(ds_config.PROCESSED_DIR):
-            print(f'\tForce Preprocessing: Cleaning {ds_config.PROCESSED_DIR}...')
-            shutil.rmtree(ds_config.PROCESSED_DIR)
-
-        try:
-            os.makedirs(ds_config.PROCESSED_DIR, exist_ok=False)
-        except OSError:
-            print(f'\tDataset "{dataset_name}" already preprocessed, skipping...\n')
-            continue
-
-        if hasattr(ds_config, 'TRAIN_VAL_TEST_SPLIT'):
-            ratios = ds_config.TRAIN_VAL_TEST_SPLIT
-            print(f'\tNo predefined split found. Splitting dataset with ratios {ratios}...')
-            full_ds = WeedDataset(
-                image_folder_path=ds_config.IMG_DIR,
-                annotation_path=ds_config.ANNOTATIONS,
-                processor=processor,
-                label2id=ds_config.LABEL2ID,
-            )
-            lengths = split_lengths(len(full_ds), ratios)
-            print(f'\tSplit sizes: Train={lengths[0]}, Val={lengths[1]}, Test={lengths[2]}')
-
-            perm = seeded_permutation(len(full_ds))
-            offsets = [0, lengths[0], lengths[0] + lengths[1], sum(lengths)]
-            names = ['Train', 'Validate', 'Test']
-            for i, name in enumerate(names):
-                if lengths[i] > 0:
-                    subset = Subset(full_ds, perm[offsets[i] : offsets[i + 1]])
-                    process_and_save(subset, output_dir=os.path.join(ds_config.PROCESSED_DIR, name))
-        else:
-            print(f'\tUsing predefined splits from {dataset_name} definitions.')
-            for name, img_dir, ann in [
-                ('Train', ds_config.TRAIN_IMG_DIR, ds_config.TRAIN_ANNOTATIONS),
-                ('Validate', ds_config.VAL_IMG_DIR, ds_config.VAL_ANNOTATIONS),
-                ('Test', ds_config.TEST_IMG_DIR, ds_config.TEST_ANNOTATIONS),
-            ]:
-                ds = WeedDataset(
-                    image_folder_path=img_dir,
-                    annotation_path=ann,
-                    processor=processor,
-                    label2id=ds_config.LABEL2ID,
-                )
-                process_and_save(ds, output_dir=os.path.join(ds_config.PROCESSED_DIR, name))
-
-        print(f'\tFinished processing {dataset_name}\n')
+        if preprocess_dataset(dataset_name, processor):
+            print(f'\tFinished processing {dataset_name}\n')
     print('--- Processing Complete ---\n')
 
 

@@ -1,0 +1,57 @@
+"""Standalone test driver (SURVEY.md C14; reference models/mask2former/test.py).
+
+Loads a fine-tuned checkpoint by ``MODEL_ID``, builds the RAW test dataset
+for ``DATASET_LIST[0]`` (not the cache — reference test.py:29-35), and runs
+the batched mAP evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from weed_instance_segmentation_tpu import config
+from weed_instance_segmentation_tpu.datasets.dataset_utils import collate_fn
+from weed_instance_segmentation_tpu.datasets.factory import get_dataset_and_config
+from weed_instance_segmentation_tpu.datasets.loader import DataLoader
+from weed_instance_segmentation_tpu.engine import checkpoint as ckpt
+from weed_instance_segmentation_tpu.engine.metrics import (
+    print_metrics_evaluation, test_with_metrics,
+)
+from weed_instance_segmentation_tpu.engine.steps import make_forward_fn
+from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
+from weed_instance_segmentation_tpu.processing.image_processor import (
+    Mask2FormerImageProcessor,
+)
+
+MODEL_ID = os.environ.get('WISTPU_MODEL_ID', 'mask2former_fine_tuned/latest/best_model/')
+
+
+def test_model(model_id: str) -> dict | None:
+    model_path = os.path.join(config.MODELS_OUTPUT_DIR, model_id)
+    if not os.path.exists(model_path):
+        print(f'Model not found at {model_path}')
+        return None
+
+    print(f'Loading model from {model_path}')
+    processor = Mask2FormerImageProcessor.from_pretrained(model_path)
+    cfg, params = ckpt.load_pretrained(model_path)
+    forward_fn = make_forward_fn(Mask2Former(cfg))
+
+    WeedDataset, ds_config = get_dataset_and_config(config.DATASET_LIST[0])
+    print('Loading Test Dataset...')
+    test_ds = WeedDataset(
+        image_folder_path=ds_config.TEST_IMG_DIR,
+        annotation_path=ds_config.TEST_ANNOTATIONS,
+        processor=processor,
+        label2id=ds_config.LABEL2ID,
+    )
+    loader = DataLoader(test_ds, batch_size=config.BATCH_SIZE, shuffle=False,
+                        collate=collate_fn)
+
+    result = test_with_metrics(forward_fn, params, loader)
+    print_metrics_evaluation(result, model_name='Best Model')
+    return result
+
+
+if __name__ == '__main__':
+    test_model(MODEL_ID)

@@ -1,0 +1,345 @@
+"""Training driver (SURVEY.md C10; reference models/mask2former/train.py).
+
+Same orchestration as the reference, re-hosted on the TPU stack:
+
+- unified label maps with first-wins collision warnings (train.py:40-61);
+- lazy per-split preprocessing into the .npz cache (train.py:95-126);
+- concatenated multi-dataset loaders (train.py:133-164);
+- epoch loop with gradient accumulation (GA inside the jitted step via
+  optax.MultiSteps — train.py:196-206), per-epoch val loss (train.py:18-37,
+  averaged per batch like the reference's ``/len(data_loader)`` quirk
+  §2.5.10), best-val checkpointing (train.py:221-226), final save, test
+  phase on the best model (train.py:238-258);
+- ``metadata.json`` with the reference's exact keys and phase timings
+  (train.py:275-311), written up-front for crash forensics, the whole
+  train() wrapped in try/except returning partial metadata (train.py:270).
+
+TPU-first: one static batch shape for the whole run (computed from the
+cache sidecars) so the train step compiles exactly once; batches are
+sharded over the 1-D data mesh; everything between host batch assembly and
+the loss scalar is a single XLA program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from weed_instance_segmentation_tpu import config
+from weed_instance_segmentation_tpu.datasets.dataset_utils import (
+    ConcatDataset, PreprocessedDataset, collate_fn, compute_static_pad_hw,
+    pad_batch_static, process_and_save,
+)
+from weed_instance_segmentation_tpu.datasets.factory import get_dataset_and_config
+from weed_instance_segmentation_tpu.datasets.loader import DataLoader
+from weed_instance_segmentation_tpu.engine import checkpoint as ckpt
+from weed_instance_segmentation_tpu.engine.metrics import (
+    prepare_metrics_for_json, print_metrics_evaluation, test_with_metrics,
+)
+from weed_instance_segmentation_tpu.engine.model_utils import build_model, default_processor
+from weed_instance_segmentation_tpu.engine.steps import (
+    create_train_state, make_eval_step, make_forward_fn, make_train_step,
+)
+from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
+from weed_instance_segmentation_tpu.parallel.mesh import create_mesh, shard_batch
+
+SPECIFIC_OUTPUT_DIR = os.path.join(config.MODELS_OUTPUT_DIR, 'mask2former_fine_tuned/')
+
+
+def get_unified_labels(dataset_list: list) -> tuple[dict, dict]:
+    """Merge per-dataset ID2LABEL maps; first label wins on id collision with
+    a warning (reference train.py:40-61, quirk §2.5.9)."""
+    unified_id2label: dict = {}
+    for ds_name in dataset_list:
+        _, ds_config = get_dataset_and_config(ds_name)
+        for id_num, label in ds_config.ID2LABEL.items():
+            if id_num in unified_id2label and unified_id2label[id_num] != label:
+                print(
+                    f'WARNING: ID collision for {id_num} '
+                    f'({unified_id2label[id_num]} vs {label}). '
+                    f'Keeping {unified_id2label[id_num]}.'
+                )
+            else:
+                unified_id2label[id_num] = label
+    unified_label2id = {v: k for k, v in unified_id2label.items()}
+    print(f'Unified Classes: {unified_id2label}')
+    return unified_id2label, unified_label2id
+
+
+def format_duration(start_dt: datetime, end_dt: datetime) -> str:
+    return str(end_dt - start_dt).split('.')[0]
+
+
+def _round_up(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def _device_batches(loader, pad_hw, max_instances, mesh, batch_size):
+    """Static-pad + shard each ragged host batch. Partial final batches are
+    padded with repeats of the last sample (their loss contributions are a
+    deliberate duplication, mirroring how small final batches already skew
+    the reference's per-batch averaging)."""
+    for batch in loader:
+        n = len(batch['file_names'])
+        samples = [
+            {
+                'pixel_values': batch['pixel_values'][k],
+                'mask_labels': batch['mask_labels'][k],
+                'class_labels': batch['class_labels'][k],
+            }
+            for k in range(n)
+        ]
+        while len(samples) < batch_size:
+            samples.append(samples[-1])
+        device_batch = pad_batch_static(samples, pad_hw, max_instances)
+        yield shard_batch(device_batch, mesh)
+
+
+def evaluate(eval_step, params, loader, pad_hw, max_instances, mesh, batch_size,
+             description: str | None = None) -> float:
+    """Average per-batch loss (reference evaluate, train.py:18-37)."""
+    total = 0.0
+    count = 0
+    if description is not None:
+        print(f'\tStarting {description}')
+    rng = jax.random.PRNGKey(0)
+    for i, batch in enumerate(
+        _device_batches(loader, pad_hw, max_instances, mesh, batch_size)
+    ):
+        loss = float(eval_step(params, batch, jax.random.fold_in(rng, i)))
+        total += loss
+        count += 1
+        if description is not None and (i + 1) % 10 == 0:
+            print(f'\t\t{description} Step {i + 1}/{len(loader)} - Loss: {loss:.4f}')
+    return total / max(count, 1)
+
+
+def ensure_preprocessed(dataset_name: str, processor, unified_label2id: dict) -> dict:
+    """Lazy per-split preprocessing (reference train.py:95-126). Returns the
+    three processed dirs."""
+    WeedDataset, ds_config = get_dataset_and_config(dataset_name)
+    paths = {s: os.path.join(ds_config.PROCESSED_DIR, s)
+             for s in ('Train', 'Validate', 'Test')}
+
+    if hasattr(ds_config, 'TRAIN_VAL_TEST_SPLIT'):
+        # dynamic-split datasets (crop_weed) have no per-split raw dirs —
+        # delegate to the preprocess driver's seeded split (preprocess.py)
+        from weed_instance_segmentation_tpu.datasets.preprocess import preprocess_dataset
+
+        missing = any(
+            not os.path.exists(p) or len(os.listdir(p)) == 0
+            for s, p in paths.items()
+            if ds_config.TRAIN_VAL_TEST_SPLIT[('Train', 'Validate', 'Test').index(s)] > 0
+        )
+        if missing or config.FORCE_PREPROCESSING:
+            preprocess_dataset(dataset_name, processor, unified_label2id, force=True)
+        # splits with ratio 0 have no directory; PreprocessedDataset handles
+        # them as empty (warning + len 0), like the reference's missing dirs
+        return paths
+
+    for split, img_attr, ann_attr in (
+        ('Train', 'TRAIN_IMG_DIR', 'TRAIN_ANNOTATIONS'),
+        ('Validate', 'VAL_IMG_DIR', 'VAL_ANNOTATIONS'),
+        ('Test', 'TEST_IMG_DIR', 'TEST_ANNOTATIONS'),
+    ):
+        proc_path = paths[split]
+        needs = (
+            not os.path.exists(proc_path)
+            or len(os.listdir(proc_path)) == 0
+            or config.FORCE_PREPROCESSING
+        )
+        if needs:
+            print(f'\tPre-processing {dataset_name} {split} data...')
+            raw = WeedDataset(
+                image_folder_path=getattr(ds_config, img_attr),
+                annotation_path=getattr(ds_config, ann_attr),
+                processor=processor,
+                label2id=unified_label2id,
+            )
+            process_and_save(raw, output_dir=proc_path)
+    return paths
+
+
+def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
+    try:
+        start_time = datetime.now()
+        mesh = create_mesh(config.DATA_PARALLEL)
+        print(f'Training on mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)')
+
+        # 1. unified labels + processor
+        unified_id2label, unified_label2id = get_unified_labels(dataset_list)
+        processor = default_processor()
+
+        # 2. lazy preprocessing + cache datasets
+        train_datasets, val_datasets, test_datasets = [], [], []
+        processed_dirs = []
+        for dataset_name in dataset_list:
+            print(f'\n--- Preparing Dataset: {dataset_name} ---')
+            paths = ensure_preprocessed(dataset_name, processor, unified_label2id)
+            train_datasets.append(PreprocessedDataset(paths['Train']))
+            val_datasets.append(PreprocessedDataset(paths['Validate']))
+            test_datasets.append(PreprocessedDataset(paths['Test']))
+            processed_dirs.extend(paths.values())
+
+        full_train = ConcatDataset(train_datasets)
+        full_val = ConcatDataset(val_datasets)
+        full_test = ConcatDataset(test_datasets)
+        print(f'\n\tCombined Training Samples: {len(full_train)}')
+        print(f'\tCombined Validation Samples: {len(full_val)}')
+        print(f'\tCombined Test Samples: {len(full_test)}')
+
+        # static shapes for the whole run
+        pad_hw, data_max_instances = compute_static_pad_hw(processed_dirs)
+        max_instances = min(max(data_max_instances, 1), config.MAX_INSTANCES)
+        print(f'\tStatic batch shape: {pad_hw}, max_instances={max_instances}')
+
+        end_time = datetime.now()
+        elapsed = format_duration(start_time, end_time)
+        print(f'\tData preprocessing completed in {elapsed}')
+        metadata['preprocessing_time'] = elapsed
+        start_time = end_time
+
+        # batch size must fill the data mesh
+        n_dev = mesh.devices.size
+        batch_size = _round_up(config.BATCH_SIZE, n_dev)
+        if batch_size != config.BATCH_SIZE:
+            print(f'\tBATCH_SIZE {config.BATCH_SIZE} rounded to {batch_size} for {n_dev} devices')
+
+        train_loader = DataLoader(full_train, batch_size, shuffle=True, collate=collate_fn)
+        val_loader = DataLoader(full_val, batch_size, shuffle=False, collate=collate_fn)
+        test_loader = DataLoader(full_test, batch_size, shuffle=False, collate=collate_fn)
+
+        # 3. model + optimizer + jitted steps
+        model, params, model_cfg = build_model(unified_id2label, unified_label2id)
+        state, tx = create_train_state(
+            params, config.LEARNING_RATE, config.GRADIENT_ACCUMULATION
+        )
+        train_step = make_train_step(model, model_cfg, tx)
+        eval_step = make_eval_step(model, model_cfg)
+
+        best_val_loss = float('inf')
+        metadata['training_history'] = []
+        print('Starting Training...')
+
+        end_time = datetime.now()
+        elapsed = format_duration(start_time, end_time)
+        print(f'\tData and model loading completed in {elapsed}')
+        metadata['data_and_model_loading_time'] = elapsed
+        start_time = end_time
+
+        rng = jax.random.PRNGKey(42)
+        for epoch in range(config.EPOCHS):
+            total_loss = 0.0
+            steps = 0
+            print(f'\nEpoch {epoch + 1}/{config.EPOCHS}')
+            for batch in _device_batches(
+                train_loader, pad_hw, max_instances, mesh, batch_size
+            ):
+                state, loss = train_step(state, batch, rng)
+                total_loss += float(loss)
+                steps += 1
+            avg_train_loss = total_loss / max(steps, 1)
+            print(f'\tEpoch {epoch + 1} Avg Loss: {avg_train_loss:.4f}')
+
+            avg_val_loss = evaluate(
+                eval_step, state.params, val_loader, pad_hw, max_instances, mesh, batch_size
+            )
+            print(f'\tEpoch {epoch + 1} Val Loss: {avg_val_loss:.4f}')
+
+            metadata['training_history'].append({
+                'epoch': epoch + 1,
+                'train_loss': avg_train_loss,
+                'val_loss': avg_val_loss,
+            })
+
+            if avg_val_loss < best_val_loss:
+                best_val_loss = avg_val_loss
+                save_path = os.path.join(output_dir, 'best_model')
+                ckpt.save_pretrained(save_path, state.params, model_cfg, processor)
+                print(f'\tSaved new best model (Loss: {best_val_loss:.4f})')
+
+        end_time = datetime.now()
+        elapsed = format_duration(start_time, end_time)
+        print(f'\tTraining completed in {elapsed}')
+        metadata['training_time'] = elapsed
+
+        final_path = os.path.join(output_dir, 'final_model')
+        ckpt.save_pretrained(final_path, state.params, model_cfg, processor)
+        # full resume point (capability the reference lacks — SURVEY.md §5.4)
+        ckpt.save_train_checkpoint(os.path.join(output_dir, 'train_state'), state)
+
+        # --- test phase on the best model (reference train.py:238-258) ----
+        print('\n--- Starting Test Phase (Best Model) ---')
+        best_model_path = os.path.join(output_dir, 'best_model')
+        start_time = datetime.now()
+        if os.path.exists(best_model_path):
+            print(f'\tLoading best model from {best_model_path}')
+            best_cfg, best_params = ckpt.load_pretrained(best_model_path)
+            forward_fn = make_forward_fn(Mask2Former(best_cfg))
+            test_results = test_with_metrics(forward_fn, best_params, test_loader)
+            print_metrics_evaluation(test_results, model_name='Best Model')
+            metadata['test_metrics'] = prepare_metrics_for_json(test_results)
+        else:
+            print('\tBest model not found, skipping test phase.')
+
+        end_time = datetime.now()
+        elapsed = format_duration(start_time, end_time)
+        print(f'\tTest completed in {elapsed}')
+        metadata['test_time'] = elapsed
+        return metadata
+
+    except Exception as e:  # partial metadata on crash (reference train.py:270-272)
+        import traceback
+
+        traceback.print_exc()
+        print(f'\nError during training/testing:\n\t{e}')
+        return metadata
+
+
+def main():
+    global_start_time = datetime.now()
+    run_output_dir = os.path.join(
+        SPECIFIC_OUTPUT_DIR, global_start_time.strftime('%Y-%m-%d_%H-%M-%S')
+    )
+    os.makedirs(run_output_dir, exist_ok=True)
+    print(f'Training started at {global_start_time.strftime("%Y-%m-%d %H:%M:%S")}')
+
+    metadata = {
+        'start_time': global_start_time.strftime('%Y-%m-%d_%H-%M-%S'),
+        'dataset_list': config.DATASET_LIST,
+        'base_model': config.MODEL_CHECKPOINT,
+        'batch_size': config.BATCH_SIZE,
+        'learning_rate': config.LEARNING_RATE,
+        'epochs': config.EPOCHS,
+        'gradient_accumulation': config.GRADIENT_ACCUMULATION,
+        'max_input_dim': config.MAX_INPUT_DIM,
+    }
+    metadata_path = os.path.join(run_output_dir, 'metadata.json')
+    try:
+        with open(metadata_path, 'w') as f:
+            json.dump(metadata, f, indent=4)
+    except Exception as e:
+        print(f'\nError in saving metadata to "{metadata_path}":\n\t {e}')
+
+    updated = train(output_dir=run_output_dir, metadata=metadata,
+                    dataset_list=config.DATASET_LIST)
+    global_end_time = datetime.now()
+    updated['end_time'] = global_end_time.strftime('%Y-%m-%d_%H-%M-%S')
+    updated['total_time'] = format_duration(global_start_time, global_end_time)
+    print(
+        f"Training finished at {updated['end_time']}, "
+        f"total duration: {updated['total_time']}"
+    )
+    try:
+        with open(metadata_path, 'w') as f:
+            json.dump(updated, f, indent=4)
+    except Exception as e:
+        print(f'\nError in updating metadata to "{metadata_path}":\n\t {e}')
+
+
+if __name__ == '__main__':
+    main()
