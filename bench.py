@@ -22,10 +22,11 @@ import time
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BASELINE_MEASURED.json')
 
-BATCH = int(os.environ.get('BENCH_BATCH', '1'))
+BATCH = int(os.environ.get('BENCH_BATCH', '4'))
 HW = int(os.environ.get('BENCH_HW', '800'))
 ITERS = int(os.environ.get('BENCH_ITERS', '10'))
 ARCH = os.environ.get('BENCH_ARCH', 'swin-large')
+DTYPE = os.environ.get('BENCH_DTYPE', 'bfloat16')
 
 
 def measure_ours() -> float:
@@ -38,7 +39,7 @@ def measure_ours() -> float:
     from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
 
     cfg = config_for_arch(ARCH, num_labels=5)
-    model = Mask2Former(cfg)
+    model = Mask2Former(cfg, dtype=jnp.dtype(DTYPE))
     params = init_params(model, cfg, image_hw=(128, 128))
     forward = make_forward_fn(model)
 
@@ -55,12 +56,19 @@ def measure_ours() -> float:
     # warmup / compile
     float(step(params, x))
 
-    t0 = time.perf_counter()
-    delta = jnp.float32(0.0)
-    for _ in range(ITERS):
-        delta = step(params, x + delta * 1e-12)
-    float(delta)  # device_get: full chain executed
-    dt = time.perf_counter() - t0
+    def round_():
+        t0 = time.perf_counter()
+        delta = jnp.float32(0.0)
+        for _ in range(ITERS):
+            delta = step(params, x + delta * 1e-12)
+        float(delta)  # device_get: full chain executed
+        return time.perf_counter() - t0
+
+    # first measured round through a tunneled backend can include lazy
+    # transfers / server-side warmup (observed 68s vs 0.4s steady) — run two
+    # rounds and report the steady one
+    round_()
+    dt = round_()
     return BATCH * ITERS / dt
 
 
@@ -112,7 +120,7 @@ def main():
             baseline = json.load(f).get('torch_cpu_images_per_sec')
     vs = (value / baseline) if baseline else 1.0
     print(json.dumps({
-        'metric': f'mask2former_{ARCH}_inference_{HW}x{HW}_b{BATCH}',
+        'metric': f'mask2former_{ARCH}_inference_{HW}x{HW}_b{BATCH}_{DTYPE}',
         'value': round(value, 4),
         'unit': 'images/sec/chip',
         'vs_baseline': round(vs, 4),

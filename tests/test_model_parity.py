@@ -69,6 +69,8 @@ def test_sine_position_embedding_matches_hf():
 
 
 def test_msda_matches_hf(rng):
+    from weed_instance_segmentation_tpu.ops.msda_fused import msda_fused
+
     b, heads, dim, q = 2, 2, 8, 11
     shapes = [(6, 8), (3, 4), (2, 2)]
     total = sum(h * w for h, w in shapes)
@@ -84,6 +86,11 @@ def test_msda_matches_hf(rng):
         jnp.asarray(value), tuple(shapes), jnp.asarray(locs), jnp.asarray(weights)
     ))
     np.testing.assert_allclose(got, want, atol=1e-5)
+    # the fused production formulation (flat table, inline corners) too
+    got_fused = np.asarray(msda_fused(
+        jnp.asarray(value), tuple(shapes), jnp.asarray(locs), jnp.asarray(weights)
+    ))
+    np.testing.assert_allclose(got_fused, want, atol=1e-5)
 
 
 def test_swin_backbone_matches_hf(rng):

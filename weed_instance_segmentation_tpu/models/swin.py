@@ -111,6 +111,11 @@ class WindowAttention(nn.Module):
         rel_idx = relative_position_index(ws).reshape(-1)
         rel_bias = bias_table[rel_idx].reshape(ws * ws, ws * ws, self.num_heads)
         rel_bias = rel_bias.transpose(2, 0, 1).astype(self.dtype)
+        # Materialize the gathered bias: without this barrier XLA fuses the
+        # (ws⁴,)-row gather into the (windows × heads × ws⁴) mask-add loop and
+        # re-executes it per window — measured 3930ms → 17.6ms per stage-1
+        # Swin-L block at 800×800 on v5e.
+        rel_bias = jax.lax.optimization_barrier(rel_bias)
         scores = scores + rel_bias[None]
 
         if attn_mask is not None:

@@ -1,0 +1,86 @@
+"""Fused XLA formulation of multi-scale deformable attention sampling.
+
+Numerics identical to ``msda_reference`` (HF multi_scale_deformable_attention,
+modeling_mask2former.py:799-838). Performance-motivated restructuring for
+TPU (profiled on v5e at 800×800, where the 6-layer deformable encoder was
+93% of the Swin-L forward):
+
+- one flat value table over (batch·head·level) — a single gather per
+  corner instead of 3 levels × batch·heads separate gathers (folding batch
+  into the index removes XLA's per-batch gather serialization; measured
+  18 → 13 ms on the level-0 isolation);
+- corners weighted and accumulated inline — no (B·H, D, Q, L, P) stack is
+  ever materialized (the stack + weighted reduction was ~1/3 of the
+  reference's runtime);
+- indices clamped host-free with validity folded into the weights
+  (zeros padding semantics), ``mode='clip'`` so XLA skips bounds branches.
+
+A Mosaic kernel was evaluated and rejected for this op: TPU dynamic_gather
+only supports one source vreg (8 sublanes / 128 lanes) along the gather
+dimension, and the per-row DMA alternative issues ~1.26M descriptors per
+layer. The XLA gather's ~24 cycles/row is the realistic floor; this
+module minimizes rows and overhead around it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def msda_fused(
+    value: jnp.ndarray,
+    spatial_shapes: tuple,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Same contract as ``msda_reference``:
+
+    value (B, L_total, H, D); spatial_shapes static ((H_l, W_l), ...);
+    sampling_locations (B, Q, H, L, P, 2) in [0, 1]; attention_weights
+    (B, Q, H, L, P) softmaxed. Returns (B, Q, H·D).
+    """
+    b, l_total, num_heads, head_dim = value.shape
+    _, q, _, n_levels, n_points, _ = sampling_locations.shape
+    dtype = value.dtype
+
+    # flat table (B·H·L_total rows): row index = (bi·H + h)·L_total + level_off + y·W + x
+    table = value.transpose(0, 2, 1, 3).reshape(b * num_heads * l_total, head_dim)
+
+    level_offsets = np.concatenate(
+        [[0], np.cumsum([hw[0] * hw[1] for hw in spatial_shapes])]
+    )[:-1]
+    bh_base = (
+        jnp.arange(b * num_heads, dtype=jnp.int32).reshape(b, num_heads) * l_total
+    )  # (B, H)
+
+    out = jnp.zeros((b, q, num_heads, head_dim), dtype)
+    for level, (hl, wl) in enumerate(spatial_shapes):
+        loc = sampling_locations[:, :, :, level]  # (B, Q, H, P, 2)
+        # torch grid_sample unnormalize (align_corners=False)
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx1 = x - x0
+        wy1 = y - y0
+        base = bh_base[:, None, :, None] + int(level_offsets[level])  # (B,1,H,1)
+
+        for dy in (0, 1):
+            iy = y0 + dy
+            yw = jnp.where(dy, wy1, 1.0 - wy1)
+            y_ok = (iy >= 0) & (iy <= hl - 1)
+            row = jnp.clip(iy, 0, hl - 1).astype(jnp.int32) * wl
+            for dx in (0, 1):
+                ix = x0 + dx
+                xw = jnp.where(dx, wx1, 1.0 - wx1)
+                valid = y_ok & (ix >= 0) & (ix <= wl - 1)
+                idx = base + row + jnp.clip(ix, 0, wl - 1).astype(jnp.int32)
+                rows = jnp.take(
+                    table, idx.reshape(-1), axis=0, mode='clip'
+                ).reshape(b, q, num_heads, n_points, head_dim)
+                wgt = (xw * yw * valid * attention_weights[:, :, :, level]).astype(dtype)
+                out = out + (rows * wgt[..., None]).sum(axis=3)
+
+    return out.reshape(b, q, num_heads * head_dim)
