@@ -55,6 +55,11 @@ def msda_fused(
         jnp.arange(b * num_heads, dtype=jnp.int32).reshape(b, num_heads) * l_total
     )  # (B, H)
 
+    # coordinates in f32 always: bf16's 8 mantissa bits give ~0.5px error at
+    # level-0 resolution, visibly degrading the bilinear taps
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+
     out = jnp.zeros((b, q, num_heads, head_dim), dtype)
     for level, (hl, wl) in enumerate(spatial_shapes):
         loc = sampling_locations[:, :, :, level]  # (B, Q, H, P, 2)
