@@ -231,7 +231,13 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         metadata['data_and_model_loading_time'] = elapsed
         start_time = end_time
 
+        # tracing hook (SURVEY.md §5.1 — the reference has only wall-clock
+        # timers): WISTPU_PROFILE=<dir> captures a jax.profiler trace of
+        # training steps 3..8 of the first epoch (post-compile steady state)
+        profile_dir = os.environ.get('WISTPU_PROFILE')
+
         rng = jax.random.PRNGKey(42)
+        global_step = 0
         for epoch in range(config.EPOCHS):
             total_loss = 0.0
             steps = 0
@@ -239,9 +245,16 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
             for batch in _device_batches(
                 train_loader, pad_hw, max_instances, mesh, batch_size
             ):
+                if profile_dir and global_step == 3:
+                    jax.profiler.start_trace(profile_dir)
                 state, loss = train_step(state, batch, rng)
                 total_loss += float(loss)
                 steps += 1
+                global_step += 1
+                if profile_dir and global_step == 8:
+                    jax.profiler.stop_trace()
+                    print(f'\tProfiler trace written to {profile_dir}')
+                    profile_dir = None
             avg_train_loss = total_loss / max(steps, 1)
             print(f'\tEpoch {epoch + 1} Avg Loss: {avg_train_loss:.4f}')
 
