@@ -12,10 +12,11 @@ TPU-first notes:
 - Reference points and sine position embeddings are trace-time numpy
   constants (the HF code builds masks of zeros — HF:1308 — so valid ratios
   are always 1; SURVEY.md X4).
-- The deformable sampling core is ``ops.msda_fused`` (flat-table fused
-  gather; 3× the naive formulation on v5e — see its module docstring for
-  why a Mosaic kernel loses here); ``ops.deformable_attention`` keeps the
-  HF-shaped reference as the parity oracle.
+- The deformable sampling core is ``ops.msda_select`` (dtype-aware:
+  flat-table fused gathers for bf16, patch-packed gathers for f32 — see
+  those modules for the v5e measurements and why a Mosaic kernel loses
+  here); ``ops.deformable_attention`` keeps the HF-shaped reference as
+  the parity oracle.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ import numpy as np
 
 from weed_instance_segmentation_tpu.models.configuration import Mask2FormerConfig
 from weed_instance_segmentation_tpu.models.position_embedding import sine_position_embedding
-from weed_instance_segmentation_tpu.ops.msda_fused import msda_fused
+from weed_instance_segmentation_tpu.ops.msda_select import msda
 from weed_instance_segmentation_tpu.ops.resize import interpolate_bilinear
 
 xavier_uniform = nn.initializers.xavier_uniform()
@@ -102,7 +103,7 @@ class MSDeformAttn(nn.Module):
         ref = jnp.asarray(reference_points, dtype=self.dtype)[None, :, None, None, None, :]
         locations = ref + offsets / offset_normalizer[None, None, None, :, None, :]
 
-        out = msda_fused(value, spatial_shapes, locations, attn)
+        out = msda(value, spatial_shapes, locations, attn)
         out = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, dtype=self.dtype,
                        name='output_proj')(out)
         return out
