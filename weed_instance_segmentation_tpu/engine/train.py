@@ -238,13 +238,20 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
 
         rng = jax.random.PRNGKey(42)
         global_step = 0
+        input_wait = 0.0  # host time spent waiting on the input pipeline
+        device_time = 0.0  # host time spent in (async-dispatched) steps
+        import time as _time
+
         for epoch in range(config.EPOCHS):
             total_loss = 0.0
             steps = 0
             print(f'\nEpoch {epoch + 1}/{config.EPOCHS}')
+            t_mark = _time.perf_counter()
             for batch in _device_batches(
                 train_loader, pad_hw, max_instances, mesh, batch_size
             ):
+                t_have_batch = _time.perf_counter()
+                input_wait += t_have_batch - t_mark
                 if profile_dir and global_step == 3:
                     jax.profiler.start_trace(profile_dir)
                 state, loss = train_step(state, batch, rng)
@@ -255,6 +262,8 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                     jax.profiler.stop_trace()
                     print(f'\tProfiler trace written to {profile_dir}')
                     profile_dir = None
+                t_mark = _time.perf_counter()
+                device_time += t_mark - t_have_batch
             avg_train_loss = total_loss / max(steps, 1)
             print(f'\tEpoch {epoch + 1} Avg Loss: {avg_train_loss:.4f}')
 
@@ -279,6 +288,13 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         elapsed = format_duration(start_time, end_time)
         print(f'\tTraining completed in {elapsed}')
         metadata['training_time'] = elapsed
+        # input-pipeline duty cycle (north star ≥80%): fraction of the train
+        # loop the device had work, i.e. not blocked on host batch assembly
+        total_loop = input_wait + device_time
+        if total_loop > 0:
+            duty = device_time / total_loop
+            metadata['input_duty_cycle'] = round(duty, 4)
+            print(f'\tInput-pipeline duty cycle: {100 * duty:.1f}%')
 
         final_path = os.path.join(output_dir, 'final_model')
         ckpt.save_pretrained(final_path, state.params, model_cfg, processor)
