@@ -44,6 +44,12 @@ def init_params(model: Mask2Former, cfg: Mask2FormerConfig, seed: int = 0,
     return init(jax.random.PRNGKey(seed))['params']
 
 
+def _compute_dtype():
+    """config.COMPUTE_DTYPE → jnp dtype (params always stay float32;
+    this is the activation/compute dtype — MXU runs bf16 natively)."""
+    return jnp.dtype(config.COMPUTE_DTYPE)
+
+
 def build_model(
     id2label: dict | None = None,
     label2id: dict | None = None,
@@ -51,8 +57,10 @@ def build_model(
     seed: int = 0,
 ):
     """(model, params, cfg) honoring the reference's label-override +
-    ignore_mismatched_sizes behavior."""
+    ignore_mismatched_sizes behavior. The model computes in
+    config.COMPUTE_DTYPE (params float32)."""
     checkpoint = checkpoint if checkpoint is not None else config.MODEL_CHECKPOINT
+    dtype = _compute_dtype()
 
     if os.path.isdir(checkpoint):
         cfg, params = ckpt.load_pretrained(checkpoint)
@@ -64,14 +72,14 @@ def build_model(
             cfg.id2label = id2label
             cfg.label2id = label2id or {v: k for k, v in id2label.items()}
             cfg.num_labels = len(id2label)
-            model = Mask2Former(cfg)
+            model = Mask2Former(cfg, dtype=dtype)
             fresh = init_params(model, cfg, seed)
             params['class_predictor'] = fresh['class_predictor']
         else:
             if id2label is not None:
                 cfg.id2label = id2label
                 cfg.label2id = label2id or {v: k for k, v in id2label.items()}
-            model = Mask2Former(cfg)
+            model = Mask2Former(cfg, dtype=dtype)
         return model, params, cfg
 
     cfg = config_for_arch(config.MODEL_ARCH)
@@ -83,7 +91,7 @@ def build_model(
         f'Checkpoint {checkpoint!r} is not a local directory — initializing '
         f'{config.MODEL_ARCH} from scratch.'
     )
-    model = Mask2Former(cfg)
+    model = Mask2Former(cfg, dtype=dtype)
     return model, init_params(model, cfg, seed), cfg
 
 
@@ -93,7 +101,7 @@ def load_model(model_id: str):
     path = os.path.join(config.MODELS_OUTPUT_DIR, model_id)
     cfg, params = ckpt.load_pretrained(path)
     processor = Mask2FormerImageProcessor.from_pretrained(path)
-    return Mask2Former(cfg), params, cfg, processor
+    return Mask2Former(cfg, dtype=_compute_dtype()), params, cfg, processor
 
 
 def default_processor(checkpoint: str | None = None) -> Mask2FormerImageProcessor:
