@@ -25,6 +25,9 @@ def workdir(tmp_path_factory):
     root = tmp_path_factory.mktemp('e2e')
     rng = np.random.default_rng(0)
     make_pheno_bench(str(root / 'pheno'), rng, n=2)
+    from fixtures import make_crop_weed_png
+
+    make_crop_weed_png(str(root / 'cw'), rng, n=4)
     return root
 
 
@@ -35,7 +38,10 @@ def _env(root):
         # shared across test sessions: subprocesses reuse compiled programs
         'JAX_COMPILATION_CACHE_DIR': '/tmp/wistpu_xla_cache',
         'WISTPU_PHENO_BENCH_ROOT': str(root / 'pheno'),
-        'WISTPU_DATASET_LIST': 'pheno_bench',
+        'WISTPU_CROP_WEED_ROOT': str(root / 'cw'),
+        # multi-dataset training: exercises unified-label merge (C10) and
+        # crop_weed's seeded dynamic split with an empty Test ratio
+        'WISTPU_DATASET_LIST': 'pheno_bench,crop_weed',
         'WISTPU_OUTPUT_DIR': str(root / 'out') + '/',
         'WISTPU_EPOCHS': '1',
         'WISTPU_MAX_IMAGES': '2',
