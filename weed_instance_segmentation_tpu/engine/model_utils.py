@@ -72,14 +72,14 @@ def build_model(
             cfg.id2label = id2label
             cfg.label2id = label2id or {v: k for k, v in id2label.items()}
             cfg.num_labels = len(id2label)
-            model = Mask2Former(cfg, dtype=dtype)
+            model = Mask2Former(cfg, dtype=dtype, remat=config.REMAT)
             fresh = init_params(model, cfg, seed)
             params['class_predictor'] = fresh['class_predictor']
         else:
             if id2label is not None:
                 cfg.id2label = id2label
                 cfg.label2id = label2id or {v: k for k, v in id2label.items()}
-            model = Mask2Former(cfg, dtype=dtype)
+            model = Mask2Former(cfg, dtype=dtype, remat=config.REMAT)
         return model, params, cfg
 
     cfg = config_for_arch(config.MODEL_ARCH)
@@ -91,7 +91,7 @@ def build_model(
         f'Checkpoint {checkpoint!r} is not a local directory — initializing '
         f'{config.MODEL_ARCH} from scratch.'
     )
-    model = Mask2Former(cfg, dtype=dtype)
+    model = Mask2Former(cfg, dtype=dtype, remat=config.REMAT)
     return model, init_params(model, cfg, seed), cfg
 
 

@@ -47,16 +47,19 @@ class Mask2FormerOutput(NamedTuple):
 class Mask2Former(nn.Module):
     config: Mask2FormerConfig
     dtype: jnp.dtype = jnp.float32
+    # rematerialize backbone/encoder blocks in the backward pass (config.REMAT)
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
         if isinstance(cfg.backbone_config, SwinConfig):
-            self.backbone = SwinBackbone(cfg.backbone_config, dtype=self.dtype)
+            self.backbone = SwinBackbone(cfg.backbone_config, dtype=self.dtype,
+                                         remat=self.remat)
         elif isinstance(cfg.backbone_config, ResNetConfig):
             self.backbone = ResNetBackbone(cfg.backbone_config, dtype=self.dtype)
         else:
             raise ValueError(f'Unsupported backbone config {type(cfg.backbone_config)}')
-        self.pixel_decoder = PixelDecoder(cfg, dtype=self.dtype)
+        self.pixel_decoder = PixelDecoder(cfg, dtype=self.dtype, remat=self.remat)
         self.transformer_module = TransformerModule(cfg, dtype=self.dtype)
         self.class_predictor = nn.Dense(
             cfg.num_labels + 1, dtype=self.dtype, name='class_predictor'

@@ -150,12 +150,16 @@ class PixelDecoder(nn.Module):
 
     config: Mask2FormerConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # recompute encoder-layer activations in backward
 
     @nn.compact
     def __call__(self, features: list, deterministic: bool = True):
         cfg = self.config
         dim = cfg.feature_size
         nl = cfg.num_feature_levels
+        Layer = (
+            nn.remat(EncoderLayer, static_argnums=(4, 5)) if self.remat else EncoderLayer
+        )
 
         # input projections on the nl highest-stride features, highest first
         projected = []
@@ -185,7 +189,7 @@ class PixelDecoder(nn.Module):
 
         hidden = flat
         for i in range(cfg.encoder_layers):
-            hidden = EncoderLayer(cfg, dtype=self.dtype, name=f'encoder_layer_{i}')(
+            hidden = Layer(cfg, dtype=self.dtype, name=f'encoder_layer_{i}')(
                 hidden, pos_flat, ref_points, spatial_shapes, deterministic
             )
 

@@ -230,12 +230,14 @@ class SwinBackbone(nn.Module):
 
     config: SwinConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # recompute block activations in backward (config.REMAT)
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True) -> list:
         """pixel_values: (B, H, W, 3) NHWC. Returns [stage1..stage4] NHWC."""
         cfg = self.config
         ps = cfg.patch_size
+        Block = nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
 
         # patch embedding: pad to patch multiples then 4×4/4 conv + LN
         b, h, w, _ = pixel_values.shape
@@ -260,7 +262,7 @@ class SwinBackbone(nn.Module):
         for stage in range(num_stages):
             dim = int(cfg.embed_dim * 2 ** stage)
             for blk in range(cfg.depths[stage]):
-                x = SwinBlock(
+                x = Block(
                     cfg, dim=dim, num_heads=cfg.num_heads[stage],
                     shift_size=0 if blk % 2 == 0 else cfg.window_size // 2,
                     drop_path_rate=float(dpr[block_idx]),
