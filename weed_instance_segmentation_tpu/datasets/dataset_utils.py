@@ -136,6 +136,9 @@ def pad_batch_static(
       mask_labels   (B, I, H, W) float32   binary, zero-padded
       class_labels  (B, I)       int32     zero-padded
       instance_valid(B, I)       float32   1=real instance
+      sample_valid  (B,)         float32   1=real sample (callers that pad
+                                 short batches with repeats zero these so
+                                 padding contributes nothing to the loss)
     """
     if max_instances is None:
         max_instances = config.MAX_INSTANCES
@@ -170,6 +173,7 @@ def pad_batch_static(
         'mask_labels': mask_labels,
         'class_labels': class_labels,
         'instance_valid': instance_valid,
+        'sample_valid': np.ones((b,), dtype=np.float32),
     }
 
 

@@ -19,8 +19,8 @@ def get_dataset_and_config(dataset_name: str):
         config_module = importlib.import_module(config_module_path)
     except Exception:
         raise ValueError(
-            f'config_module for dataset {dataset_name} not found.'
-            f' (check path "ROOT/{config_module_path}")'
+            f'no definitions module for dataset {dataset_name!r} — '
+            f'expected an importable "{config_module_path}"'
         )
 
     dataset_module_path = f'{_PKG}.{dataset_name}.dataset'
@@ -28,8 +28,8 @@ def get_dataset_and_config(dataset_name: str):
         dataset_module = importlib.import_module(dataset_module_path)
     except Exception:
         raise ValueError(
-            f'dataset_module for dataset {dataset_name} not found.'
-            f' (check path "ROOT/{dataset_module_path}")'
+            f'no dataset module for dataset {dataset_name!r} — '
+            f'expected an importable "{dataset_module_path}"'
         )
 
     dataset_class_name = dataset_name.title().replace('_', '') + 'Dataset'
@@ -37,8 +37,8 @@ def get_dataset_and_config(dataset_name: str):
         dataset_class = getattr(dataset_module, dataset_class_name)
     except Exception:
         raise ValueError(
-            f'dataset_class for dataset {dataset_name} not found.'
-            f' (check class "ROOT/{dataset_module_path}.{dataset_class_name}")'
+            f'no dataset class for dataset {dataset_name!r} — '
+            f'expected "{dataset_module_path}" to define {dataset_class_name}'
         )
 
     return dataset_class, config_module

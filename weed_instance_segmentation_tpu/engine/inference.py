@@ -57,19 +57,19 @@ def load_ground_truth(
     (W, H) with instance ids starting at 1 and score 1.0 (reference
     inference.py:34-122)."""
     if not os.path.exists(annotation_file):
-        print(f'Annotation file not found: {annotation_file}')
+        print(f'GT annotation file missing, skipping comparison: {annotation_file}')
         return None
     try:
         with open(annotation_file) as f:
             data = json.load(f)
     except Exception as e:
-        print(f'Error loading JSON: {e}')
+        print(f'Could not parse GT annotation JSON ({annotation_file}): {e}')
         return None
 
     base = os.path.basename(image_name)
     entry = next((item for item in data.values() if item['filename'] == base), None)
     if not entry:
-        print(f'No annotation found for "{base}"')
+        print(f'{base!r} has no entry in the GT annotation file')
         return None
 
     image_path = os.path.join(img_dir, base)
@@ -77,7 +77,9 @@ def load_ground_truth(
         with Image.open(image_path) as orig:
             orig_w, orig_h = orig.size
     else:
-        print('Warning: Original image file not found. Assuming 1:1 scale.')
+        # without the original image we cannot recover the polygon scale;
+        # fall back to treating the annotation as already at target_size
+        print(f'Original image missing ({image_path}); using 1:1 polygon scale')
         orig_w, orig_h = target_size
 
     target_w, target_h = target_size

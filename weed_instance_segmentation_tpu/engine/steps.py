@@ -72,6 +72,7 @@ def make_loss_fn(model, cfg: Mask2FormerConfig) -> Callable:
             mask_weight=cfg.mask_weight,
             dice_weight=cfg.dice_weight,
             use_auxiliary_loss=cfg.use_auxiliary_loss,
+            sample_valid=batch.get('sample_valid'),
         )
         return loss, loss_dict
 
@@ -117,6 +118,7 @@ def make_eval_step(model, cfg: Mask2FormerConfig) -> Callable:
             mask_weight=cfg.mask_weight,
             dice_weight=cfg.dice_weight,
             use_auxiliary_loss=cfg.use_auxiliary_loss,
+            sample_valid=batch.get('sample_valid'),
         )
         return loss
 

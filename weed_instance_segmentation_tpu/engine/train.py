@@ -80,9 +80,10 @@ def _round_up(n: int, k: int) -> int:
 
 def _device_batches(loader, pad_hw, max_instances, mesh, batch_size):
     """Static-pad + shard each ragged host batch. Partial final batches are
-    padded with repeats of the last sample (their loss contributions are a
-    deliberate duplication, mirroring how small final batches already skew
-    the reference's per-batch averaging)."""
+    padded with repeats of the last sample to keep the static batch shape;
+    the repeats are marked invalid in ``sample_valid`` so the loss excludes
+    them — batch averages match the reference's true-batch averaging
+    (train.py:18-37)."""
     for batch in loader:
         n = len(batch['file_names'])
         samples = [
@@ -96,6 +97,8 @@ def _device_batches(loader, pad_hw, max_instances, mesh, batch_size):
         while len(samples) < batch_size:
             samples.append(samples[-1])
         device_batch = pad_batch_static(samples, pad_hw, max_instances)
+        device_batch['sample_valid'][n:] = 0.0
+        device_batch['instance_valid'][n:] = 0.0
         yield shard_batch(device_batch, mesh)
 
 

@@ -244,11 +244,20 @@ def mask2former_loss(
     dice_weight: float = 5.0,
     axis_name: str | None = None,
     loss_key_suffix: str = '',
+    sample_valid: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """One layer's loss dict {loss_mask, loss_dice, loss_cross_entropy}
-    (unweighted — see :func:`total_loss` for the weight map)."""
+    (unweighted — see :func:`total_loss` for the weight map).
+
+    ``sample_valid`` (B,) marks real samples; rows padded into a short final
+    batch (engine/train.py repeats the last sample to keep the static batch
+    shape) are excluded from every term — both the CE normalizer and, via
+    ``target_valid``, the mask/dice sums and ``num_masks``.
+    """
     b, q, _ = class_queries_logits.shape
     n_max = target_masks.shape[1]
+    if sample_valid is not None:
+        target_valid = target_valid & (sample_valid > 0)[:, None]
 
     r_match, r_points = jax.random.split(rng)
     assigned = hungarian_match(
@@ -278,8 +287,10 @@ def mask2former_loss(
     class_w = jnp.concatenate(
         [jnp.ones((num_labels,)), jnp.asarray([no_object_weight])]
     )[target_map]
+    if sample_valid is not None:
+        class_w = class_w * sample_valid[:, None]
     # torch CrossEntropyLoss(weight): mean = Σ w·nll / Σ w
-    loss_ce = -(class_w * picked).sum() / class_w.sum()
+    loss_ce = -(class_w * picked).sum() / jnp.maximum(class_w.sum(), 1e-8)
 
     # ---- loss_masks (HF:581-640) -----------------------------------------
     flat_pred = masks_queries_logits.reshape(b * q, *masks_queries_logits.shape[2:])
@@ -331,18 +342,21 @@ def total_loss(
     dice_weight: float = 5.0,
     use_auxiliary_loss: bool = True,
     axis_name: str | None = None,
+    sample_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Weighted total loss over the final layer + all aux layers.
 
     ``outputs`` is a ``models.mask2former.Mask2FormerOutput``. Returns
     (scalar total, weighted per-key dict) — matching HF's substring-matched
-    weight map + sum-of-dict total (HF:2275-2283).
+    weight map + sum-of-dict total (HF:2275-2283). ``sample_valid`` (B,)
+    excludes batch-padding repeats from every term.
     """
     kw = dict(
         num_labels=num_labels, no_object_weight=no_object_weight,
         train_num_points=train_num_points, oversample_ratio=oversample_ratio,
         importance_sample_ratio=importance_sample_ratio, class_weight=class_weight,
         mask_weight=mask_weight, dice_weight=dice_weight, axis_name=axis_name,
+        sample_valid=sample_valid,
     )
     layers = [(outputs.masks_queries_logits, outputs.class_queries_logits, '')]
     if use_auxiliary_loss:

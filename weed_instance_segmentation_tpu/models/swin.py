@@ -187,12 +187,9 @@ class SwinBlock(nn.Module):
         y = jax.nn.gelu(y, approximate=False)  # torch F.gelu is erf-exact
         y = nn.Dense(self.dim, dtype=self.dtype, name='output_dense')(y)
         y = nn.Dropout(cfg.hidden_dropout_prob, deterministic=deterministic)(y)
-        return x + self._drop_path_mod(y, deterministic, suffix='2')
+        return x + self._drop_path(y, deterministic)
 
-    def _drop_path(self, x, deterministic, suffix=''):
-        return self._drop_path_mod(x, deterministic, suffix)
-
-    def _drop_path_mod(self, x, deterministic, suffix=''):
+    def _drop_path(self, x, deterministic):
         rate = self.drop_path_rate
         if rate == 0.0 or deterministic:
             return x

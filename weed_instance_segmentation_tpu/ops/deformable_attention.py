@@ -5,11 +5,13 @@ Numerics match HF ``multi_scale_deformable_attention``
 per-head value maps at the sampling locations (align_corners=False, zeros
 padding), then weighted sum over levels × points.
 
-Two implementations with one signature:
-- ``msda_reference``: pure-jnp gathers (this file) — the parity oracle, also
-  entirely fusable by XLA.
-- ``msda`` in ``ops.pallas_msda``: the Pallas TPU kernel (used on TPU for the
-  hot path; falls back to the reference elsewhere).
+Implementations with one signature (dispatched by ``ops.msda_select``):
+- ``msda_reference``: pure-jnp per-level grid_sample gathers (this file) —
+  the parity oracle.
+- ``ops.msda_fused.msda_fused``: flat-table gather across all levels, the
+  production path (a Pallas kernel was measured and rejected — see the
+  decision record at the top of ``ops/msda_fused.py``).
+- ``ops.msda_packed.msda_packed``: corner-packed variant, faster for f32.
 """
 
 from __future__ import annotations

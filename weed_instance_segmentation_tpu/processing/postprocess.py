@@ -128,7 +128,8 @@ def post_process_instance_segmentation(
         target_sizes = [SCORE_RESOLUTION] * b
 
     results = []
-    # group by target size so each distinct size jits once
+    # per-image loop; post_process_instance_arrays compiles once per
+    # distinct (target_size, threshold) and is cached across images
     for i in range(b):
         res = post_process_instance_arrays(
             class_logits[i : i + 1], mask_logits[i : i + 1],
