@@ -113,6 +113,61 @@ def test_train_then_eval_entry_points(workdir):
     assert 'Worst Predictions' in out
 
 
+def test_resume_continues_training(workdir):
+    """Kill after epoch 1, resume with WISTPU_RESUME, and the metadata of
+    the resumed run shows a continuous 2-epoch history."""
+    env = _env(workdir)
+    env['WISTPU_OUTPUT_DIR'] = str(workdir / 'out_resume') + '/'
+    env['WISTPU_EPOCHS'] = '1'
+    _run('weed_instance_segmentation_tpu.engine.train', env)
+    runs = sorted(glob.glob(str(workdir / 'out_resume/models/mask2former_fine_tuned/*')))
+    first_run = runs[-1]
+    with open(os.path.join(first_run, 'train_state/train_state.json')) as f:
+        state_meta = json.load(f)
+    assert state_meta['epoch'] == 1
+    first_steps = state_meta['step']
+    assert first_steps > 0
+
+    env['WISTPU_EPOCHS'] = '2'
+    env['WISTPU_RESUME'] = first_run  # run dir; train_state/ resolved inside
+    out = _run('weed_instance_segmentation_tpu.engine.train', env)
+    assert 'Resumed from' in out
+    runs = sorted(glob.glob(str(workdir / 'out_resume/models/mask2former_fine_tuned/*')))
+    second_run = runs[-1]
+    assert second_run != first_run
+    with open(os.path.join(second_run, 'metadata.json')) as f:
+        metadata = json.load(f)
+    assert metadata['resumed_from'] == os.path.join(first_run, 'train_state')
+    epochs = [h['epoch'] for h in metadata['training_history']]
+    assert epochs == [1, 2], metadata['training_history']
+    with open(os.path.join(second_run, 'train_state/train_state.json')) as f:
+        state_meta2 = json.load(f)
+    # optimizer micro-step counter continued, not restarted
+    assert state_meta2['step'] > first_steps
+
+
+def test_train_checkpoint_layout_mismatch_raises(tmp_path):
+    """Keyed opt-state serialization: restoring into a differently-shaped
+    optimizer fails loudly instead of mis-assigning leaves by position."""
+    import pytest as _pytest
+
+    from weed_instance_segmentation_tpu.engine import checkpoint as ckpt
+    from weed_instance_segmentation_tpu.engine.model_utils import init_params
+    from weed_instance_segmentation_tpu.engine.steps import create_train_state
+    from weed_instance_segmentation_tpu.models.configuration import Mask2FormerConfig
+    from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
+
+    cfg = Mask2FormerConfig.tiny_test(num_labels=3)
+    params = init_params(Mask2Former(cfg), cfg)
+    state, _ = create_train_state(params, 1e-4, gradient_accumulation=2)
+    d = str(tmp_path / 'ckpt')
+    ckpt.save_train_checkpoint(d, state)
+    # GA=1 drops the MultiSteps wrapper → different opt-state tree
+    other, _ = create_train_state(params, 1e-4, gradient_accumulation=1)
+    with _pytest.raises(ValueError, match='layout mismatch'):
+        ckpt.load_train_checkpoint(d, other)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     """save_pretrained → load_pretrained preserves params bit-exactly, and
     the train_state roundtrip restores opt_state + step."""

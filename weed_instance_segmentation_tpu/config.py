@@ -72,6 +72,13 @@ REMAT = _env('REMAT', False, bool)
 # Device mesh: data-parallel axis size (None = all visible devices).
 DATA_PARALLEL = _env('DATA_PARALLEL', None, int)
 
+# Resume training from a prior run: path to a run output dir (containing
+# train_state/) or directly to a train_state dir written by
+# engine.checkpoint.save_train_checkpoint. Restores params, optimizer state,
+# epoch counter, best-val loss, and training history. (The reference always
+# restarts from the HF checkpoint — SURVEY.md §5.4.)
+RESUME = _env('RESUME', None)
+
 # Preprocessed-cache file format ('.npz' per sample, mirrors reference .pt).
 CACHE_SUFFIX = '.npz'
 

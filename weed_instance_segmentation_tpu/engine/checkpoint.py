@@ -77,17 +77,24 @@ def load_processor(directory: str) -> Mask2FormerImageProcessor:
     return Mask2FormerImageProcessor.from_pretrained(directory)
 
 
+def _opt_state_keyed_flat(opt_state) -> dict[str, np.ndarray]:
+    """Flatten an optax state into {tree-path string: leaf}. Keys name the
+    full path through the nested namedtuples (e.g.
+    ``[0].inner_opt_state[0].mu['decoder']...``) so a restore into a
+    differently-shaped optimizer fails loudly instead of silently
+    mis-assigning leaves by position."""
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
 def save_train_checkpoint(directory: str, state, extra: dict | None = None) -> None:
     """Full resume point: params + opt_state + step (+ user metadata)."""
     os.makedirs(directory, exist_ok=True)
     params, opt_state = jax.device_get((state.params, state.opt_state))
     with open(os.path.join(directory, PARAMS_FILE), 'wb') as f:
         np.savez(f, **_tree_to_flat(params))
-    flat_opt = traverse_util.flatten_dict(
-        jax.tree.map(np.asarray, _opt_state_to_tree(opt_state)), sep='/'
-    )
     with open(os.path.join(directory, OPT_STATE_FILE), 'wb') as f:
-        np.savez(f, **flat_opt)
+        np.savez(f, **_opt_state_keyed_flat(opt_state))
     meta = {'step': int(state.step), **(extra or {})}
     with open(os.path.join(directory, TRAIN_META_FILE), 'w') as f:
         json.dump(meta, f, indent=2)
@@ -96,25 +103,28 @@ def save_train_checkpoint(directory: str, state, extra: dict | None = None) -> N
 def load_train_checkpoint(directory: str, state_like):
     """Restore a TrainState saved by :func:`save_train_checkpoint`.
     ``state_like`` supplies the opt_state treedef (build via
-    ``create_train_state`` on freshly-initialized params)."""
+    ``create_train_state`` on freshly-initialized params). Leaves are matched
+    by tree-path key; a key-set mismatch (e.g. an optax layout change)
+    raises instead of restoring garbage."""
     from weed_instance_segmentation_tpu.engine.steps import TrainState
     import jax.numpy as jnp
 
     with np.load(os.path.join(directory, PARAMS_FILE), allow_pickle=False) as z:
         params = _flat_to_tree({k: z[k] for k in z.files})
     with np.load(os.path.join(directory, OPT_STATE_FILE), allow_pickle=False) as z:
-        flat_opt = {k: z[k] for k in z.files}
-    opt_tree = traverse_util.unflatten_dict(flat_opt, sep='/')
-    leaves_new = jax.tree.leaves(opt_tree)
+        saved = {k: z[k] for k in z.files}
+    flat_like = jax.tree_util.tree_flatten_with_path(state_like.opt_state)[0]
+    want_keys = [jax.tree_util.keystr(path) for path, _ in flat_like]
+    missing = sorted(set(want_keys) - set(saved))
+    surplus = sorted(set(saved) - set(want_keys))
+    if missing or surplus:
+        raise ValueError(
+            f'optimizer-state layout mismatch restoring {directory!r}: '
+            f'{len(missing)} expected keys missing (e.g. {missing[:3]}), '
+            f'{len(surplus)} saved keys unused (e.g. {surplus[:3]})'
+        )
     treedef = jax.tree.structure(state_like.opt_state)
-    opt_state = jax.tree.unflatten(treedef, leaves_new)
+    opt_state = jax.tree.unflatten(treedef, [saved[k] for k in want_keys])
     with open(os.path.join(directory, TRAIN_META_FILE)) as f:
         meta = json.load(f)
     return TrainState(params=params, opt_state=opt_state, step=jnp.int32(meta['step'])), meta
-
-
-def _opt_state_to_tree(opt_state) -> dict:
-    """Flatten an optax state (nested namedtuples) into a plain dict keyed by
-    leaf position — structure is re-imposed at load time."""
-    leaves = jax.tree.leaves(opt_state)
-    return {f'leaf_{i:04d}': leaf for i, leaf in enumerate(leaves)}

@@ -225,7 +225,24 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         eval_step = make_eval_step(model, model_cfg)
 
         best_val_loss = float('inf')
+        start_epoch = 0
         metadata['training_history'] = []
+        if config.RESUME:
+            # WISTPU_RESUME: restore params + optimizer + epoch/history from
+            # a prior run (capability the reference lacks — SURVEY.md §5.4).
+            # The checkpoint must come from the same arch/label config.
+            resume_dir = config.RESUME
+            if not os.path.exists(os.path.join(resume_dir, ckpt.OPT_STATE_FILE)):
+                resume_dir = os.path.join(resume_dir, 'train_state')
+            state, resume_meta = ckpt.load_train_checkpoint(resume_dir, state)
+            start_epoch = int(resume_meta.get('epoch', 0))
+            best_val_loss = float(resume_meta.get('best_val_loss', float('inf')))
+            metadata['training_history'] = list(resume_meta.get('training_history', []))
+            metadata['resumed_from'] = resume_dir
+            print(
+                f'Resumed from {resume_dir}: epoch {start_epoch}, '
+                f'micro-step {int(state.step)}, best val loss {best_val_loss:.4f}'
+            )
         print('Starting Training...')
 
         end_time = datetime.now()
@@ -245,7 +262,7 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         device_time = 0.0  # host time spent in (async-dispatched) steps
         import time as _time
 
-        for epoch in range(config.EPOCHS):
+        for epoch in range(start_epoch, config.EPOCHS):
             total_loss = 0.0
             steps = 0
             print(f'\nEpoch {epoch + 1}/{config.EPOCHS}')
@@ -287,6 +304,16 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 ckpt.save_pretrained(save_path, state.params, model_cfg, processor)
                 print(f'\tSaved new best model (Loss: {best_val_loss:.4f})')
 
+            # per-epoch resume point (WISTPU_RESUME target)
+            ckpt.save_train_checkpoint(
+                os.path.join(output_dir, 'train_state'), state,
+                extra={
+                    'epoch': epoch + 1,
+                    'best_val_loss': best_val_loss,
+                    'training_history': metadata['training_history'],
+                },
+            )
+
         end_time = datetime.now()
         elapsed = format_duration(start_time, end_time)
         print(f'\tTraining completed in {elapsed}')
@@ -301,8 +328,15 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
 
         final_path = os.path.join(output_dir, 'final_model')
         ckpt.save_pretrained(final_path, state.params, model_cfg, processor)
-        # full resume point (capability the reference lacks — SURVEY.md §5.4)
-        ckpt.save_train_checkpoint(os.path.join(output_dir, 'train_state'), state)
+        # final resume point (per-epoch saves above cover mid-run crashes)
+        ckpt.save_train_checkpoint(
+            os.path.join(output_dir, 'train_state'), state,
+            extra={
+                'epoch': config.EPOCHS,
+                'best_val_loss': best_val_loss,
+                'training_history': metadata['training_history'],
+            },
+        )
 
         # --- test phase on the best model (reference train.py:238-258) ----
         print('\n--- Starting Test Phase (Best Model) ---')
