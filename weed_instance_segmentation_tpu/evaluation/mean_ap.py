@@ -10,15 +10,22 @@ Semantics follow the COCO evaluation protocol that torchmetrics delegates
 to (pycocotools COCOeval, iouType='segm'):
 
 - IoU thresholds 0.50:0.05:0.95 on masks; 101-point interpolated PR;
-- per-(image, class) greedy matching: predictions in score-descending
-  order each claim the still-unmatched GT with the highest IoU ≥ t (ties →
-  first GT);
-- area ranges all/small/medium/large = [0,1e10]/[0,32²]/[32²,96²]/[96²,1e10]
-  on GT pixel counts; unmatched predictions with area outside the range are
-  ignored (neither TP nor FP);
-- max detections 1/10/100 per (image, class) for mar_1/mar_10/mar_100;
-- classes with no GT anywhere are excluded; empty → -1.0 (torchmetrics
-  convention).
+- per-(image, class, area-range) greedy matching: predictions in
+  score-descending order each claim the still-unmatched GT with the highest
+  IoU ≥ t (exact ties → the later GT, as in COCOeval's scan order), with
+  GTs outside the area range marked *ignore* and sorted last — a prediction
+  prefers any qualifying in-range GT and falls back to ignored ones;
+- predictions matched to an ignored GT, or unmatched with area outside the
+  range, are ignored (neither TP nor FP);
+- max detections 1/10/100 per (image, class) for mar_1/mar_10/mar_100
+  (score-descending truncation of the match columns);
+- classes with no GT anywhere contribute nothing; empty → -1.0
+  (torchmetrics convention).
+
+Fidelity is cross-checked against a literal per-detection transcription of
+COCOeval's evaluateImg/accumulate in ``tests/cocoeval_oracle.py`` on
+randomized multi-image/multi-class/area-bucket cases
+(``tests/test_mean_ap.py``).
 
 TPU-first split: the O(N·H·W) work — pairwise mask intersections — is one
 (P, HW)@(HW, G) matmul on the MXU via :func:`mask_iou_matrix`; the tiny
@@ -45,57 +52,79 @@ MAX_DETS = (1, 10, 100)
 
 
 @partial(jax.jit, static_argnames=())
-def _iou_kernel(preds: jnp.ndarray, gts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(P, HW) bool, (G, HW) bool → IoU (P, G), pred areas (P,), gt areas (G,).
-
-    The intersection matrix is a single f32 matmul → MXU."""
+def _inter_kernel(preds: jnp.ndarray, gts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(P, HW) bool, (G, HW) bool → intersections (P, G), pred areas (P,),
+    gt areas (G,). One f32 matmul → MXU; all values are exact integer counts
+    (< 2^24 pixels per mask)."""
     p = preds.astype(jnp.float32)
     g = gts.astype(jnp.float32)
-    inter = p @ g.T
-    pa = p.sum(-1)
-    ga = g.sum(-1)
-    union = pa[:, None] + ga[None, :] - inter
-    return jnp.where(union > 0, inter / union, 0.0), pa, ga
+    return p @ g.T, p.sum(-1), g.sum(-1)
 
 
 def mask_iou_matrix(pred_masks: np.ndarray, gt_masks: np.ndarray):
-    """Device-side pairwise mask IoU. pred_masks (P, H, W), gt_masks (G, H, W)
-    → (iou (P, G), pred_areas (P,), gt_areas (G,)) as numpy."""
+    """Pairwise mask IoU: the O(N·H·W) intersection matmul runs on device;
+    the (P, G) division happens in float64 on host so IoU values are
+    bit-identical to the float64 COCO protocol (threshold comparisons at
+    0.55 etc. are sensitive to the rounding of the quotient).
+
+    pred_masks (P, H, W), gt_masks (G, H, W) →
+    (iou (P, G) f64, pred_areas (P,), gt_areas (G,)) as numpy."""
     pred_masks = np.asarray(pred_masks)
     gt_masks = np.asarray(gt_masks)
     p = pred_masks.reshape(len(pred_masks), -1) if pred_masks.size else np.zeros((len(pred_masks), 0))
     g = gt_masks.reshape(len(gt_masks), -1) if gt_masks.size else np.zeros((len(gt_masks), 0))
     if len(p) == 0 or len(g) == 0:
         return (
-            np.zeros((len(p), len(g)), np.float32),
-            p.sum(-1).astype(np.float32),
-            g.sum(-1).astype(np.float32),
+            np.zeros((len(p), len(g)), np.float64),
+            p.sum(-1).astype(np.float64),
+            g.sum(-1).astype(np.float64),
         )
-    iou, pa, ga = _iou_kernel(jnp.asarray(p, jnp.bool_), jnp.asarray(g, jnp.bool_))
-    return np.asarray(iou), np.asarray(pa), np.asarray(ga)
+    inter, pa, ga = (np.asarray(v, np.float64) for v in
+                     _inter_kernel(jnp.asarray(p, jnp.bool_), jnp.asarray(g, jnp.bool_)))
+    union = pa[:, None] + ga[None, :] - inter
+    with np.errstate(invalid='ignore', divide='ignore'):
+        iou = np.where(union > 0, inter / union, 0.0)
+    return iou, pa, ga
 
 
-def _greedy_match(iou: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
-    """COCOeval.evaluateImg matching. iou (P, G) with P already
-    score-sorted/truncated. Returns dtm (T, P) int — matched gt index or -1."""
+def _greedy_match(iou: np.ndarray, gt_ignore: np.ndarray,
+                  thresholds: np.ndarray = IOU_THRESHOLDS) -> np.ndarray:
+    """COCOeval.evaluateImg matching, vectorized over IoU thresholds.
+
+    iou (P, G) with P already score-sorted/truncated; gt_ignore (G,) marks
+    GTs outside the area range. Returns dtm (T, P) int — matched gt index
+    or -1.
+
+    Semantics (all from COCOeval's scan order, where GTs are stably sorted
+    ignored-last): a detection takes the highest-IoU still-unmatched
+    *in-range* GT with IoU ≥ t if one exists, else the highest-IoU unmatched
+    ignored GT; exact IoU ties resolve to the later GT in original order.
+    The inner per-GT loop is replaced by two masked arg-maxes per detection
+    across all T thresholds at once (the sequential dependency is only over
+    detections)."""
     p, g = iou.shape
     t_count = len(thresholds)
     dtm = np.full((t_count, p), -1, np.int64)
-    gtm = np.zeros((t_count, g), bool)
-    for ti, t in enumerate(thresholds):
-        for di in range(p):
-            best = min(t, 1 - 1e-10)
-            m = -1
-            for gi in range(g):
-                if gtm[ti, gi]:
-                    continue
-                if iou[di, gi] < best:
-                    continue
-                best = iou[di, gi]
-                m = gi
-            if m >= 0:
-                dtm[ti, di] = m
-                gtm[ti, m] = True
+    if p == 0 or g == 0:
+        return dtm
+    gt_ignore = np.asarray(gt_ignore, bool)
+    unmatched = np.ones((t_count, g), bool)
+    thr = np.minimum(thresholds, 1 - 1e-10)[:, None]  # (T, 1)
+    t_idx = np.arange(t_count)
+    for di in range(p):
+        row = iou[di][None, :]  # (1, G)
+        qualifies = unmatched & (row >= thr)  # (T, G)
+        for group_mask in (~gt_ignore, gt_ignore):
+            cand = qualifies & group_mask[None, :]
+            has = cand.any(axis=1)
+            if not has.any():
+                continue
+            # argmax of row within cand, ties → LAST gt (reverse-scan argmax)
+            masked = np.where(cand, row, -np.inf)
+            pick = (g - 1) - np.argmax(masked[:, ::-1], axis=1)
+            take = has & (dtm[:, di] < 0)
+            dtm[take, di] = pick[take]
+            unmatched[t_idx[take], pick[take]] = False
     return dtm
 
 
@@ -115,7 +144,8 @@ class MeanAveragePrecision:
     def reset(self) -> None:
         # per (image, class): dict(scores, iou, pred_areas, gt_areas)
         self._entries: list[dict] = []
-        self._classes: set[int] = set()
+        self._classes: set[int] = set()  # classes with GT (drive the means)
+        self._pred_classes: set[int] = set()  # union for the 'classes' key
 
     def update(self, preds: list[dict], target: list[dict]) -> None:
         for pred, tgt in zip(preds, target):
@@ -127,6 +157,7 @@ class MeanAveragePrecision:
 
             classes = set(p_labels.tolist()) | set(g_labels.tolist())
             self._classes |= set(g_labels.tolist())
+            self._pred_classes |= set(p_labels.tolist())
             per_class = {}
             for c in classes:
                 pi = np.nonzero(p_labels == c)[0]
@@ -143,7 +174,7 @@ class MeanAveragePrecision:
             self._entries.append(per_class)
 
     def compute(self) -> dict:
-        classes = sorted(self._classes)
+        classes = sorted(self._classes | self._pred_classes)
         t_count = len(IOU_THRESHOLDS)
         # precision[T, R, K, A, M], recall[T, K, A, M]
         shape_p = (t_count, len(REC_THRESHOLDS), len(classes), len(AREA_RANGES), len(MAX_DETS))
@@ -151,23 +182,29 @@ class MeanAveragePrecision:
         recall = -np.ones((t_count, len(classes), len(AREA_RANGES), len(MAX_DETS)))
 
         for ki, c in enumerate(classes):
-            # matching is area-independent; compute once per image at maxDet=100
-            per_img = []
-            for entry in self._entries:
-                e = entry.get(c)
-                if e is None:
-                    continue
-                iou = e['iou'][: MAX_DETS[-1]]
-                dtm = _greedy_match(iou, IOU_THRESHOLDS)
-                per_img.append((e, dtm))
-
+            per_img = [entry[c] for entry in self._entries if c in entry]
+            # matching depends on the area range only through the GT-ignore
+            # pattern (COCOeval evaluateImg sorts out-of-range GTs last);
+            # cache per image by that pattern — the 'all' range and any
+            # bucket where every GT is in/out of range share one match
+            dtm_cache: list[dict[bytes, np.ndarray]] = [{} for _ in per_img]
             for ai, (a_lo, a_hi) in enumerate(AREA_RANGES.values()):
+                matched_imgs = []
+                for e, cache in zip(per_img, dtm_cache):
+                    ga = e['gt_areas']
+                    gt_ig = (ga < a_lo) | (ga > a_hi)
+                    key = gt_ig.tobytes()
+                    dtm = cache.get(key)
+                    if dtm is None:
+                        dtm = _greedy_match(e['iou'][: MAX_DETS[-1]], gt_ig)
+                        cache[key] = dtm
+                    matched_imgs.append((e, gt_ig, dtm))
+
                 for mi, max_det in enumerate(MAX_DETS):
                     scores_all, tps_all, igs_all = [], [], []
                     npig = 0
-                    for e, dtm_full in per_img:
+                    for e, gt_ig, dtm_full in matched_imgs:
                         ga = e['gt_areas']
-                        gt_ig = (ga < a_lo) | (ga > a_hi)
                         npig += int((~gt_ig).sum())
                         n_dt = min(len(e['scores']), max_det)
                         if n_dt == 0:
@@ -200,16 +237,12 @@ class MeanAveragePrecision:
                             pr = tp / (fp + tp + np.spacing(1))
                             recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0.0
                             # precision envelope (monotone non-increasing)
-                            pr = pr.tolist()
-                            for i in range(len(pr) - 1, 0, -1):
-                                if pr[i] > pr[i - 1]:
-                                    pr[i - 1] = pr[i]
+                            pr = np.maximum.accumulate(pr[::-1])[::-1]
                             inds = np.searchsorted(rc, REC_THRESHOLDS, side='left')
                             q = np.zeros(len(REC_THRESHOLDS))
-                            for ri, pi_ in enumerate(inds):
-                                if pi_ < len(pr):
-                                    q[ri] = pr[pi_]
-                            precision[:, :, ki, ai, mi][ti] = q
+                            in_range = inds < len(pr)
+                            q[in_range] = pr[inds[in_range]]
+                            precision[ti, :, ki, ai, mi] = q
                     else:
                         recall[:, ki, ai, mi] = 0.0
                         precision[:, :, ki, ai, mi] = 0.0
