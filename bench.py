@@ -1,18 +1,28 @@
-"""Benchmark harness: flagship Mask2Former inference throughput.
+"""Benchmark harness: flagship Mask2Former throughput (inference + training).
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+     "train_images_per_sec_chip": N, "train_step_ms": N, "train_duty_cycle": N}
 
-The workload is the north-star metric from BASELINE.json: Mask2Former
-(Swin-L, the reference's checkpoint family) batched inference at the
-processor's working resolution for the 1024-long-side datasets
-(pheno_bench 1024×1024 → shortest-edge 800 → 800×800).
+Headline metric (BASELINE.json north star): Mask2Former Swin-L batched
+INFERENCE images/sec/chip at the processor's working resolution for the
+1024-long-side datasets (pheno_bench 1024×1024 → shortest-edge 800 →
+800×800). The measured path is uint8-in end-to-end: the fused on-device
+preprocess (processing/fused.py — MXU-matmul resize + normalize + pad) and
+the model forward run as one XLA program chain per step.
 
-``vs_baseline`` compares against the PyTorch reference on CPU
-(transformers==4.57.6, the exact stack the reference runs —
-SURVEY.md §6: the reference publishes no numbers, so the baseline is
-measured once with ``python bench.py --measure-baseline`` and stored in
-BASELINE_MEASURED.json).
+The extra ``train_*`` keys time the full jitted TRAINING step (forward +
+Hungarian matching + point-sampled losses + AdamW with GA=2, bf16 compute)
+fed through the real host input pipeline (background-prefetch DataLoader →
+static-pad collation → device transfer), and report the input duty cycle
+(BASELINE config 5: ≥80%).
+
+``vs_baseline`` compares against the PyTorch reference stack on CPU
+(transformers==4.57.6, measured at the SAME batch/resolution with
+``python bench.py --measure-baseline``, stored in BASELINE_MEASURED.json).
+
+Env knobs: BENCH_MODE=all|infer|train, BENCH_BATCH, BENCH_HW, BENCH_ITERS,
+BENCH_ARCH, BENCH_DTYPE, BENCH_TRAIN_BATCH, BENCH_MAX_INSTANCES.
 """
 
 import json
@@ -22,45 +32,60 @@ import time
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BASELINE_MEASURED.json')
 
+MODE = os.environ.get('BENCH_MODE', 'all')
 BATCH = int(os.environ.get('BENCH_BATCH', '4'))
 HW = int(os.environ.get('BENCH_HW', '800'))
+HW_IN = int(os.environ.get('BENCH_HW_IN', '1024'))  # raw uint8 long side
 ITERS = int(os.environ.get('BENCH_ITERS', '10'))
 ARCH = os.environ.get('BENCH_ARCH', 'swin-large')
 DTYPE = os.environ.get('BENCH_DTYPE', 'bfloat16')
+TRAIN_BATCH = int(os.environ.get('BENCH_TRAIN_BATCH', '4'))
+TRAIN_ITERS = int(os.environ.get('BENCH_TRAIN_ITERS', '8'))
+MAX_INSTANCES = int(os.environ.get('BENCH_MAX_INSTANCES', '10'))
 
 
-def measure_ours() -> float:
+def _model(num_labels: int = 5):
+    import jax.numpy as jnp
+
+    from weed_instance_segmentation_tpu.engine.model_utils import config_for_arch, init_params
+    from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
+
+    cfg = config_for_arch(ARCH, num_labels=num_labels)
+    model = Mask2Former(cfg, dtype=jnp.dtype(DTYPE))
+    params = init_params(model, cfg, image_hw=(128, 128))
+    return cfg, model, params
+
+
+def measure_infer() -> float:
+    """uint8 (B, HW_IN, HW_IN, 3) → fused device preprocess → forward."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from weed_instance_segmentation_tpu.engine.model_utils import config_for_arch, init_params
     from weed_instance_segmentation_tpu.engine.steps import make_forward_fn
-    from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
+    from weed_instance_segmentation_tpu.processing.fused import fused_preprocess
 
-    cfg = config_for_arch(ARCH, num_labels=5)
-    model = Mask2Former(cfg, dtype=jnp.dtype(DTYPE))
-    params = init_params(model, cfg, image_hw=(128, 128))
+    _, model, params = _model()
     forward = make_forward_fn(model)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((BATCH, 3, HW, HW)), jnp.float32)
+    raw = jnp.asarray(rng.integers(0, 256, size=(BATCH, HW_IN, HW_IN, 3), dtype=np.uint8))
 
     @jax.jit
-    def step(params, x):
-        out = forward(params, x)
+    def step(params, raw, jitter):
+        pixel_values, _ = fused_preprocess(raw + jitter, (HW, HW), (HW, HW))
+        out = forward(params, pixel_values)
         # scalar feedback serializes iterations and defeats any async
         # enqueue-without-execute behavior in tunneled backends
         return out.class_queries_logits.mean() + out.masks_queries_logits.mean()
 
-    # warmup / compile
-    float(step(params, x))
+    float(step(params, raw, jnp.uint8(0)))  # warmup / compile
 
     def round_():
         t0 = time.perf_counter()
-        delta = jnp.float32(0.0)
+        delta = jnp.uint8(0)
         for _ in range(ITERS):
-            delta = step(params, x + delta * 1e-12)
+            delta = (step(params, raw, delta) > 1e30).astype(jnp.uint8)
         float(delta)  # device_get: full chain executed
         return time.perf_counter() - t0
 
@@ -70,6 +95,98 @@ def measure_ours() -> float:
     round_()
     dt = round_()
     return BATCH * ITERS / dt
+
+
+def measure_train() -> dict:
+    """Full jitted train step (Swin-L bf16, GA=2) fed by the real host
+    input pipeline; reports img/s/chip, step time, and input duty cycle."""
+    import jax
+    import numpy as np
+
+    from weed_instance_segmentation_tpu.datasets.dataset_utils import pad_batch_static
+    from weed_instance_segmentation_tpu.datasets.loader import DataLoader
+    from weed_instance_segmentation_tpu.engine.steps import (
+        create_train_state, make_train_step,
+    )
+    from weed_instance_segmentation_tpu.parallel.mesh import create_mesh, shard_batch
+
+    cfg, model, params = _model()
+    state, tx = create_train_state(params, 5e-5, gradient_accumulation=2)
+    train_step = make_train_step(model, cfg, tx)
+    mesh = create_mesh()
+
+    rng = np.random.default_rng(0)
+
+    class Synth:
+        """Synthetic samples in the preprocessed-cache schema; generated in
+        __getitem__ so the loader's prefetch thread does real host work."""
+
+        def __len__(self):
+            return TRAIN_BATCH * (TRAIN_ITERS + 4)
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            n_inst = MAX_INSTANCES
+            masks = np.zeros((n_inst, HW, HW), np.float32)
+            for j in range(n_inst):
+                y, x = r.integers(0, HW - 64, size=2)
+                masks[j, y : y + 64, x : x + 64] = 1.0
+            return {
+                'pixel_values': r.standard_normal((3, HW, HW)).astype(np.float32),
+                'mask_labels': masks,
+                'class_labels': r.integers(0, cfg.num_labels, size=(n_inst,)),
+                'file_name': f'synth_{i}.png',
+            }
+
+    def collate(items):
+        return {
+            'pixel_values': [it['pixel_values'] for it in items],
+            'mask_labels': [it['mask_labels'] for it in items],
+            'class_labels': [it['class_labels'] for it in items],
+            'file_names': [it['file_name'] for it in items],
+        }
+
+    loader = DataLoader(Synth(), TRAIN_BATCH, shuffle=False, collate=collate, prefetch=2)
+
+    def device_batches():
+        for batch in loader:
+            samples = [
+                {'pixel_values': batch['pixel_values'][k],
+                 'mask_labels': batch['mask_labels'][k],
+                 'class_labels': batch['class_labels'][k]}
+                for k in range(len(batch['file_names']))
+            ]
+            yield shard_batch(pad_batch_static(samples, (HW, HW), MAX_INSTANCES), mesh)
+
+    key = jax.random.PRNGKey(0)
+    it = device_batches()
+    # warmup: 2 steps (compile + MultiSteps inner path)
+    for _ in range(2):
+        state, loss = train_step(state, next(it), key)
+    float(loss)
+
+    input_wait = 0.0
+    device_time = 0.0
+    t0 = time.perf_counter()
+    t_mark = t0
+    steps = 0
+    for batch in it:
+        t_have = time.perf_counter()
+        input_wait += t_have - t_mark
+        state, loss = train_step(state, batch, key)
+        if steps == TRAIN_ITERS - 1:
+            float(loss)  # drain the async chain before the last timestamp
+        t_mark = time.perf_counter()
+        device_time += t_mark - t_have
+        steps += 1
+        if steps >= TRAIN_ITERS:
+            break
+    dt = time.perf_counter() - t0
+    return {
+        'train_images_per_sec_chip': round(TRAIN_BATCH * steps / dt, 4),
+        'train_step_ms': round(1000 * dt / steps, 1),
+        'train_duty_cycle': round(device_time / max(input_wait + device_time, 1e-9), 4),
+    }
 
 
 def measure_torch_baseline(iters: int = 2) -> float:
@@ -113,18 +230,30 @@ def main():
         print(json.dumps({'baseline_images_per_sec': ips}))
         return
 
-    value = measure_ours()
-    baseline = None
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            baseline = json.load(f).get('torch_cpu_images_per_sec')
-    vs = (value / baseline) if baseline else 1.0
-    print(json.dumps({
-        'metric': f'mask2former_{ARCH}_inference_{HW}x{HW}_b{BATCH}_{DTYPE}',
-        'value': round(value, 4),
-        'unit': 'images/sec/chip',
-        'vs_baseline': round(vs, 4),
-    }))
+    result = {}
+    if MODE in ('all', 'infer'):
+        value = measure_infer()
+        baseline = None
+        if os.path.exists(BASELINE_FILE):
+            with open(BASELINE_FILE) as f:
+                baseline = json.load(f).get('torch_cpu_images_per_sec')
+        result.update({
+            'metric': f'mask2former_{ARCH}_e2e_inference_{HW}x{HW}_b{BATCH}_{DTYPE}',
+            'value': round(value, 4),
+            'unit': 'images/sec/chip',
+            'vs_baseline': round(value / baseline, 4) if baseline else 1.0,
+        })
+    if MODE in ('all', 'train'):
+        train = measure_train()
+        if MODE == 'train':
+            result.update({
+                'metric': f'mask2former_{ARCH}_train_{HW}x{HW}_b{TRAIN_BATCH}_{DTYPE}',
+                'value': train['train_images_per_sec_chip'],
+                'unit': 'images/sec/chip',
+                'vs_baseline': 1.0,
+            })
+        result.update(train)
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

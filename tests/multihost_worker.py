@@ -1,0 +1,105 @@
+"""Subprocess worker for tests/test_multihost.py.
+
+Runs a short training loop through the REAL engine path — DataLoader with
+per-host input sharding → ``_device_batches`` → jitted train step over the
+global data mesh — on the CPU backend, either as a single 8-device process
+or as one member of a 2-process × 4-device simulated cluster
+(``jax.distributed`` over localhost + gloo CPU collectives).
+
+Launched with PYTHONPATH excluding the image's axon sitecustomize so the
+CPU platform selection sticks (the sitecustomize force-registers the TPU
+tunnel backend).
+
+argv[1] is a JSON config: {pid, nproc, port, devices, out, steps}.
+Writes the per-step loss sequence as JSON to ``out`` (process 0 only).
+"""
+
+import json
+import os
+import sys
+
+
+def build_dataset(n_samples: int = 10, h: int = 64, w: int = 64):
+    """Deterministic synthetic samples in the preprocessed-cache schema
+    (identical on every process — seeded host RNG)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    data = []
+    for i in range(n_samples):
+        n_inst = int(rng.integers(1, 4))
+        masks = np.zeros((n_inst, h, w), np.float32)
+        for j in range(n_inst):
+            y, x = rng.integers(0, h - 16), rng.integers(0, w - 16)
+            masks[j, y : y + 16, x : x + 16] = 1.0
+        data.append({
+            'pixel_values': rng.standard_normal((3, h, w)).astype(np.float32),
+            'mask_labels': masks,
+            'class_labels': rng.integers(0, 3, size=(n_inst,)).astype(np.int64),
+            'target_size': (h, w),
+            'original_map': np.zeros((h, w), np.int32),
+            'id_to_semantic': {1: 1},
+            'file_name': f'sample_{i:03d}.png',
+        })
+    return data
+
+
+def main():
+    cfg = json.loads(sys.argv[1])
+
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_num_cpu_devices', int(cfg['devices']))
+    jax.config.update('jax_default_matmul_precision', 'highest')
+    if cfg['nproc'] > 1:
+        os.environ['WISTPU_COORDINATOR'] = f"localhost:{cfg['port']}"
+        os.environ['WISTPU_NUM_PROCESSES'] = str(cfg['nproc'])
+        os.environ['WISTPU_PROCESS_ID'] = str(cfg['pid'])
+
+    from weed_instance_segmentation_tpu.datasets.loader import DataLoader
+    from weed_instance_segmentation_tpu.engine.model_utils import init_params
+    from weed_instance_segmentation_tpu.engine.steps import (
+        create_train_state, make_train_step,
+    )
+    from weed_instance_segmentation_tpu.engine.train import _device_batches
+    from weed_instance_segmentation_tpu.models.configuration import Mask2FormerConfig
+    from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
+    from weed_instance_segmentation_tpu.parallel.mesh import (
+        create_mesh, maybe_initialize_distributed, replicate_tree,
+    )
+
+    multihost = maybe_initialize_distributed()
+    assert jax.process_count() == cfg['nproc'], (jax.process_count(), cfg['nproc'])
+    assert jax.device_count() == 8, jax.device_count()
+
+    model_cfg = Mask2FormerConfig.tiny_test(num_labels=3)
+    model = Mask2Former(model_cfg)
+    params = init_params(model, model_cfg, image_hw=(64, 64))
+    state, tx = create_train_state(params, 1e-4, gradient_accumulation=2)
+    mesh = create_mesh()
+    if multihost:
+        state = replicate_tree(state, mesh)
+    train_step = make_train_step(model, model_cfg, tx)
+
+    batch_size = 8  # 10 samples → one full batch + one partial (padding path)
+    loader = DataLoader(
+        build_dataset(), batch_size, shuffle=True, seed=7, prefetch=0,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for _ in range(int(cfg.get('epochs', 2))):
+        for batch in _device_batches(loader, (64, 64), 4, mesh, batch_size):
+            state, loss = train_step(state, batch, rng)
+            losses.append(float(loss))
+
+    if jax.process_index() == 0:
+        with open(cfg['out'], 'w') as f:
+            json.dump({'losses': losses}, f)
+    print(f"worker {cfg['pid']}/{cfg['nproc']} done: {losses}", flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -36,7 +36,18 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_count > 1`` enables per-host input sharding (SURVEY.md
+        §5.8): every host computes the same seed-deterministic global batch
+        order, then loads only its contiguous 1/process_count slice of each
+        global batch — rows [k·L, (k+1)·L) for host k, L = batch_size /
+        process_count, matching the row→device order of the 1-D data mesh
+        built from ``jax.devices()``. Short final batches are padded with
+        repeats of their last index so every host always yields L samples;
+        the true count is reported as ``num_valid`` in the batch dict (the
+        engine masks padding out of the loss via ``sample_valid``)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,6 +55,12 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f'batch_size {batch_size} not divisible by process_count {process_count}'
+            )
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -65,12 +82,26 @@ class DataLoader:
             batches.pop()
         return batches
 
+    def _materialize(self, idxs):
+        """Load + collate one batch; in multi-process mode, only this host's
+        slice of the global index batch."""
+        if self.process_count <= 1:
+            return self.collate([self.dataset[int(i)] for i in idxs])
+        n = len(idxs)
+        local_bs = self.batch_size // self.process_count
+        padded = np.concatenate([idxs, np.repeat(idxs[-1], self.batch_size - n)])
+        lo = self.process_index * local_bs
+        local = padded[lo : lo + local_bs]
+        batch = self.collate([self.dataset[int(i)] for i in local])
+        batch['num_valid'] = int(np.clip(n - lo, 0, local_bs))
+        return batch
+
     def __iter__(self):
         batches = self._index_batches()
         self._epoch += 1
         if self.prefetch <= 0:
             for idxs in batches:
-                yield self.collate([self.dataset[int(i)] for i in idxs])
+                yield self._materialize(idxs)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -81,7 +112,7 @@ class DataLoader:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    q.put(self.collate([self.dataset[int(i)] for i in idxs]))
+                    q.put(self._materialize(idxs))
             except Exception as e:  # surface loader errors in the consumer
                 q.put(e)
             finally:

@@ -71,10 +71,13 @@ def predictions_from_postprocess(predictions: list[dict]) -> list[dict]:
     return formatted
 
 
-def test_with_metrics(forward_fn, params, data_loader, threshold: float = 0.5) -> dict:
+def test_with_metrics(forward_fn, params, data_loader, threshold: float = 0.5,
+                      mesh=None) -> dict:
     """COCO segm mAP over a loader of reference-style ragged batches
     (``dataset_utils.collate_fn``). ``forward_fn(params, pixel_values)`` is
-    the jitted inference step."""
+    the jitted inference step. With ``mesh``, full batches are sharded over
+    the 'data' axis so the forward data-parallelizes like training (the
+    post-process + PR bookkeeping stay host-side per image)."""
     map_metric = MeanAveragePrecision(iou_type='segm')
 
     print('Calculating Metrics...')
@@ -85,7 +88,14 @@ def test_with_metrics(forward_fn, params, data_loader, threshold: float = 0.5) -
 
         targets = targets_from_original_maps(batch['original_maps'], batch['id_mappings'])
 
-        outputs = forward_fn(params, batch['pixel_values'])
+        pixel_values = np.asarray(batch['pixel_values'])
+        if mesh is not None and pixel_values.shape[0] % mesh.devices.size == 0:
+            import jax
+
+            from weed_instance_segmentation_tpu.parallel.mesh import batch_sharding
+
+            pixel_values = jax.device_put(pixel_values, batch_sharding(mesh))
+        outputs = forward_fn(params, pixel_values)
         predictions = post_process_instance_segmentation(
             outputs,
             threshold=threshold,

@@ -48,7 +48,11 @@ def test_model(model_id: str) -> dict | None:
     loader = DataLoader(test_ds, batch_size=config.BATCH_SIZE, shuffle=False,
                         collate=collate_fn)
 
-    result = test_with_metrics(forward_fn, params, loader)
+    from weed_instance_segmentation_tpu.parallel.mesh import create_mesh
+
+    result = test_with_metrics(
+        forward_fn, params, loader, mesh=create_mesh(config.DATA_PARALLEL)
+    )
     print_metrics_evaluation(result, model_name='Best Model')
     return result
 

@@ -45,7 +45,9 @@ from weed_instance_segmentation_tpu.engine.steps import (
     create_train_state, make_eval_step, make_forward_fn, make_train_step,
 )
 from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
-from weed_instance_segmentation_tpu.parallel.mesh import create_mesh, shard_batch
+from weed_instance_segmentation_tpu.parallel.mesh import (
+    create_mesh, maybe_initialize_distributed, replicate_tree, shard_batch,
+)
 
 SPECIFIC_OUTPUT_DIR = os.path.join(config.MODELS_OUTPUT_DIR, 'mask2former_fine_tuned/')
 
@@ -83,18 +85,25 @@ def _device_batches(loader, pad_hw, max_instances, mesh, batch_size):
     padded with repeats of the last sample to keep the static batch shape;
     the repeats are marked invalid in ``sample_valid`` so the loss excludes
     them — batch averages match the reference's true-batch averaging
-    (train.py:18-37)."""
+    (train.py:18-37).
+
+    Multi-host: the loader already yields this host's 1/process_count slice
+    of the global batch (with ``num_valid`` marking trailing repeats), so
+    padding here targets the LOCAL batch size and ``shard_batch`` assembles
+    the global array from process-local rows."""
+    local_bs = batch_size // jax.process_count()
     for batch in loader:
-        n = len(batch['file_names'])
+        n_samples = len(batch['file_names'])
+        n = batch.get('num_valid', n_samples)
         samples = [
             {
                 'pixel_values': batch['pixel_values'][k],
                 'mask_labels': batch['mask_labels'][k],
                 'class_labels': batch['class_labels'][k],
             }
-            for k in range(n)
+            for k in range(n_samples)
         ]
-        while len(samples) < batch_size:
+        while len(samples) < local_bs:
             samples.append(samples[-1])
         device_batch = pad_batch_static(samples, pad_hw, max_instances)
         device_batch['sample_valid'][n:] = 0.0
@@ -170,19 +179,36 @@ def ensure_preprocessed(dataset_name: str, processor, unified_label2id: dict) ->
 def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
     try:
         start_time = datetime.now()
+        multihost = maybe_initialize_distributed()
+        proc_idx, proc_cnt = jax.process_index(), jax.process_count()
+        is_main = proc_idx == 0
         mesh = create_mesh(config.DATA_PARALLEL)
-        print(f'Training on mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)')
+        print(
+            f'Training on mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)'
+            + (f', {proc_cnt} hosts (this is host {proc_idx})' if multihost else '')
+        )
 
         # 1. unified labels + processor
         unified_id2label, unified_label2id = get_unified_labels(dataset_list)
         processor = default_processor()
 
-        # 2. lazy preprocessing + cache datasets
+        # 2. lazy preprocessing + cache datasets. Multi-host: host 0 fills
+        # the cache (shared filesystem assumed, as on TPU pods), the rest
+        # wait at a barrier then read it.
         train_datasets, val_datasets, test_datasets = [], [], []
         processed_dirs = []
+        if multihost:
+            from jax.experimental import multihost_utils
         for dataset_name in dataset_list:
             print(f'\n--- Preparing Dataset: {dataset_name} ---')
-            paths = ensure_preprocessed(dataset_name, processor, unified_label2id)
+            if is_main:
+                paths = ensure_preprocessed(dataset_name, processor, unified_label2id)
+            if multihost:
+                multihost_utils.sync_global_devices(f'preprocessed_{dataset_name}')
+            if not is_main:
+                _, ds_config = get_dataset_and_config(dataset_name)
+                paths = {s: os.path.join(ds_config.PROCESSED_DIR, s)
+                         for s in ('Train', 'Validate', 'Test')}
             train_datasets.append(PreprocessedDataset(paths['Train']))
             val_datasets.append(PreprocessedDataset(paths['Validate']))
             test_datasets.append(PreprocessedDataset(paths['Test']))
@@ -212,8 +238,11 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         if batch_size != config.BATCH_SIZE:
             print(f'\tBATCH_SIZE {config.BATCH_SIZE} rounded to {batch_size} for {n_dev} devices')
 
-        train_loader = DataLoader(full_train, batch_size, shuffle=True, collate=collate_fn)
-        val_loader = DataLoader(full_val, batch_size, shuffle=False, collate=collate_fn)
+        shard_kw = dict(process_index=proc_idx, process_count=proc_cnt)
+        train_loader = DataLoader(full_train, batch_size, shuffle=True, collate=collate_fn, **shard_kw)
+        val_loader = DataLoader(full_val, batch_size, shuffle=False, collate=collate_fn, **shard_kw)
+        # the test phase post-processes per image on the host, so it reads
+        # the full split (host 0 runs it alone in multi-host mode)
         test_loader = DataLoader(full_test, batch_size, shuffle=False, collate=collate_fn)
 
         # 3. model + optimizer + jitted steps
@@ -243,6 +272,11 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 f'Resumed from {resume_dir}: epoch {start_epoch}, '
                 f'micro-step {int(state.step)}, best val loss {best_val_loss:.4f}'
             )
+        if multihost:
+            # multi-controller jit needs every input as a global array;
+            # params/opt state are identical on all hosts (deterministic
+            # init or shared-fs checkpoint), so replication is local-only
+            state = replicate_tree(state, mesh)
         print('Starting Training...')
 
         end_time = datetime.now()
@@ -300,19 +334,21 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
 
             if avg_val_loss < best_val_loss:
                 best_val_loss = avg_val_loss
-                save_path = os.path.join(output_dir, 'best_model')
-                ckpt.save_pretrained(save_path, state.params, model_cfg, processor)
-                print(f'\tSaved new best model (Loss: {best_val_loss:.4f})')
+                if is_main:
+                    save_path = os.path.join(output_dir, 'best_model')
+                    ckpt.save_pretrained(save_path, state.params, model_cfg, processor)
+                    print(f'\tSaved new best model (Loss: {best_val_loss:.4f})')
 
             # per-epoch resume point (WISTPU_RESUME target)
-            ckpt.save_train_checkpoint(
-                os.path.join(output_dir, 'train_state'), state,
-                extra={
-                    'epoch': epoch + 1,
-                    'best_val_loss': best_val_loss,
-                    'training_history': metadata['training_history'],
-                },
-            )
+            if is_main:
+                ckpt.save_train_checkpoint(
+                    os.path.join(output_dir, 'train_state'), state,
+                    extra={
+                        'epoch': epoch + 1,
+                        'best_val_loss': best_val_loss,
+                        'training_history': metadata['training_history'],
+                    },
+                )
 
         end_time = datetime.now()
         elapsed = format_duration(start_time, end_time)
@@ -326,36 +362,46 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
             metadata['input_duty_cycle'] = round(duty, 4)
             print(f'\tInput-pipeline duty cycle: {100 * duty:.1f}%')
 
-        final_path = os.path.join(output_dir, 'final_model')
-        ckpt.save_pretrained(final_path, state.params, model_cfg, processor)
-        # final resume point (per-epoch saves above cover mid-run crashes)
-        ckpt.save_train_checkpoint(
-            os.path.join(output_dir, 'train_state'), state,
-            extra={
-                'epoch': config.EPOCHS,
-                'best_val_loss': best_val_loss,
-                'training_history': metadata['training_history'],
-            },
-        )
+        if is_main:
+            final_path = os.path.join(output_dir, 'final_model')
+            ckpt.save_pretrained(final_path, state.params, model_cfg, processor)
+            # final resume point (per-epoch saves above cover mid-run crashes)
+            ckpt.save_train_checkpoint(
+                os.path.join(output_dir, 'train_state'), state,
+                extra={
+                    'epoch': config.EPOCHS,
+                    'best_val_loss': best_val_loss,
+                    'training_history': metadata['training_history'],
+                },
+            )
 
         # --- test phase on the best model (reference train.py:238-258) ----
-        print('\n--- Starting Test Phase (Best Model) ---')
-        best_model_path = os.path.join(output_dir, 'best_model')
+        # Host-side per-image post-processing → host 0 runs it alone on its
+        # local devices (plain jit, no mesh); the other hosts wait at the
+        # final barrier so the coordination service stays up.
         start_time = datetime.now()
-        if os.path.exists(best_model_path):
-            print(f'\tLoading best model from {best_model_path}')
-            best_cfg, best_params = ckpt.load_pretrained(best_model_path)
-            forward_fn = make_forward_fn(Mask2Former(best_cfg))
-            test_results = test_with_metrics(forward_fn, best_params, test_loader)
-            print_metrics_evaluation(test_results, model_name='Best Model')
-            metadata['test_metrics'] = prepare_metrics_for_json(test_results)
-        else:
-            print('\tBest model not found, skipping test phase.')
+        if is_main:
+            print('\n--- Starting Test Phase (Best Model) ---')
+            best_model_path = os.path.join(output_dir, 'best_model')
+            if os.path.exists(best_model_path):
+                print(f'\tLoading best model from {best_model_path}')
+                best_cfg, best_params = ckpt.load_pretrained(best_model_path)
+                forward_fn = make_forward_fn(Mask2Former(best_cfg))
+                test_results = test_with_metrics(
+                    forward_fn, best_params, test_loader,
+                    mesh=None if multihost else mesh,
+                )
+                print_metrics_evaluation(test_results, model_name='Best Model')
+                metadata['test_metrics'] = prepare_metrics_for_json(test_results)
+            else:
+                print('\tBest model not found, skipping test phase.')
 
         end_time = datetime.now()
         elapsed = format_duration(start_time, end_time)
         print(f'\tTest completed in {elapsed}')
         metadata['test_time'] = elapsed
+        if multihost:
+            multihost_utils.sync_global_devices('wistpu_run_done')
         return metadata
 
     except Exception as e:  # partial metadata on crash (reference train.py:270-272)
@@ -367,11 +413,22 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
 
 
 def main():
+    multihost = maybe_initialize_distributed()
     global_start_time = datetime.now()
+    if multihost:
+        # all hosts must agree on the timestamped run dir (host clocks can
+        # straddle a second boundary) — host 0's wall clock wins
+        from jax.experimental import multihost_utils
+
+        stamp = multihost_utils.broadcast_one_to_all(
+            np.int64(int(global_start_time.timestamp()))
+        )
+        global_start_time = datetime.fromtimestamp(int(stamp))
     run_output_dir = os.path.join(
         SPECIFIC_OUTPUT_DIR, global_start_time.strftime('%Y-%m-%d_%H-%M-%S')
     )
-    os.makedirs(run_output_dir, exist_ok=True)
+    if jax.process_index() == 0:
+        os.makedirs(run_output_dir, exist_ok=True)
     print(f'Training started at {global_start_time.strftime("%Y-%m-%d %H:%M:%S")}')
 
     metadata = {
@@ -385,11 +442,12 @@ def main():
         'max_input_dim': config.MAX_INPUT_DIM,
     }
     metadata_path = os.path.join(run_output_dir, 'metadata.json')
-    try:
-        with open(metadata_path, 'w') as f:
-            json.dump(metadata, f, indent=4)
-    except Exception as e:
-        print(f'\nError in saving metadata to "{metadata_path}":\n\t {e}')
+    if jax.process_index() == 0:
+        try:
+            with open(metadata_path, 'w') as f:
+                json.dump(metadata, f, indent=4)
+        except Exception as e:
+            print(f'\nError in saving metadata to "{metadata_path}":\n\t {e}')
 
     updated = train(output_dir=run_output_dir, metadata=metadata,
                     dataset_list=config.DATASET_LIST)
@@ -400,11 +458,12 @@ def main():
         f"Training finished at {updated['end_time']}, "
         f"total duration: {updated['total_time']}"
     )
-    try:
-        with open(metadata_path, 'w') as f:
-            json.dump(updated, f, indent=4)
-    except Exception as e:
-        print(f'\nError in updating metadata to "{metadata_path}":\n\t {e}')
+    if jax.process_index() == 0:
+        try:
+            with open(metadata_path, 'w') as f:
+                json.dump(updated, f, indent=4)
+        except Exception as e:
+            print(f'\nError in updating metadata to "{metadata_path}":\n\t {e}')
 
 
 if __name__ == '__main__':

@@ -79,7 +79,16 @@ def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray
 
 
 class WindowAttention(nn.Module):
-    """W-MSA with learned relative position bias (SWIN:399-491)."""
+    """W-MSA with learned relative position bias (SWIN:399-491).
+
+    Kernel decision record (SURVEY.md §7.1.4): a Pallas kernel fusing
+    QKᵀ + bias + softmax + PV per group of windows was built and measured
+    against this XLA path at Swin-L 800×800 stage-1/2 shapes (v5e,
+    tools/ab_window_attn.py): 0.99×/0.97× (bf16), 0.97×/1.04× (f32) — a
+    wash. With T=144-token windows the batched einsums already saturate
+    the MXU and XLA fuses bias+softmax between them; the kernel adds VMEM
+    pressure (>16 MB at 34 windows/block) for no bandwidth win. The XLA
+    formulation stays."""
 
     config: SwinConfig
     dim: int

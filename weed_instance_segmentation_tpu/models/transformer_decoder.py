@@ -16,6 +16,16 @@ TPU notes: the masked cross-attention is an additive −1e9 bias (instead of a
 bool mask) so everything is one fused softmax; the attention-mask resize is
 the shared ``interpolate_bilinear`` gather. Batch-first (B, Q, C) layout
 throughout (HF shuttles (Q, B, C); the math is identical).
+
+Kernel decision record (SURVEY.md §7.1.4 north-star kernel #2): a Pallas
+flash-style masked-attention kernel (scores/probs never leave VMEM) was
+built and measured against this XLA path at the exact decoder shapes
+(B=4, 8 heads, Q=200, D=32, S ∈ {10000, 2500, 625}, v5e) — the XLA
+formulation wins at every shape/dtype: 0.92×/0.95×/0.94× (bf16) and
+0.72×/0.88×/0.97× (f32) "speedup" for the kernel. With Q=200 the score
+tensor is small (≤64 MB/layer), XLA already fuses bias+softmax into the
+matmul chain, and the kernel's D=32 lane padding wastes 3/4 of the MXU.
+Measurement harness: tools/ab_masked_attn.py.
 """
 
 from __future__ import annotations

@@ -19,7 +19,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(1e30)
+# plain float (weak-typed, stays f32 in-context): a module-level jnp
+# constant would initialize the JAX backend at import time, which breaks
+# jax.distributed.initialize (must run before any backend use)
+INF = 1e30
 
 
 def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
