@@ -39,19 +39,20 @@ HW_IN = int(os.environ.get('BENCH_HW_IN', '1024'))  # raw uint8 long side
 ITERS = int(os.environ.get('BENCH_ITERS', '10'))
 ARCH = os.environ.get('BENCH_ARCH', 'swin-large')
 DTYPE = os.environ.get('BENCH_DTYPE', 'bfloat16')
-TRAIN_BATCH = int(os.environ.get('BENCH_TRAIN_BATCH', '4'))
+# b4 exceeds v5e-1 HBM by ~0.6 GB even with remat (measured); b2 fits
+TRAIN_BATCH = int(os.environ.get('BENCH_TRAIN_BATCH', '2'))
 TRAIN_ITERS = int(os.environ.get('BENCH_TRAIN_ITERS', '8'))
 MAX_INSTANCES = int(os.environ.get('BENCH_MAX_INSTANCES', '10'))
 
 
-def _model(num_labels: int = 5):
+def _model(num_labels: int = 5, remat: bool = False):
     import jax.numpy as jnp
 
     from weed_instance_segmentation_tpu.engine.model_utils import config_for_arch, init_params
     from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
 
     cfg = config_for_arch(ARCH, num_labels=num_labels)
-    model = Mask2Former(cfg, dtype=jnp.dtype(DTYPE))
+    model = Mask2Former(cfg, dtype=jnp.dtype(DTYPE), remat=remat)
     params = init_params(model, cfg, image_hw=(128, 128))
     return cfg, model, params
 
@@ -72,12 +73,17 @@ def measure_infer() -> float:
     raw = jnp.asarray(rng.integers(0, 256, size=(BATCH, HW_IN, HW_IN, 3), dtype=np.uint8))
 
     @jax.jit
-    def step(params, raw, jitter):
-        pixel_values, _ = fused_preprocess(raw + jitter, (HW, HW), (HW, HW))
-        out = forward(params, pixel_values)
+    def reduce_out(out):
         # scalar feedback serializes iterations and defeats any async
         # enqueue-without-execute behavior in tunneled backends
         return out.class_queries_logits.mean() + out.masks_queries_logits.mean()
+
+    def step(params, raw, jitter):
+        # preprocess and forward as two dispatches: inlining the uint8
+        # resize chain into the Swin-L program sent XLA's fusion search
+        # pathological (>9 min compile vs ~2 s + ~40 s separately)
+        pixel_values, _ = fused_preprocess(raw + jitter, (HW, HW), (HW, HW))
+        return reduce_out(forward(params, pixel_values))
 
     float(step(params, raw, jnp.uint8(0)))  # warmup / compile
 
@@ -110,7 +116,8 @@ def measure_train() -> dict:
     )
     from weed_instance_segmentation_tpu.parallel.mesh import create_mesh, shard_batch
 
-    cfg, model, params = _model()
+    # remat: Swin-L 800² training activations exceed HBM without it
+    cfg, model, params = _model(remat=os.environ.get('BENCH_REMAT', '1') == '1')
     state, tx = create_train_state(params, 5e-5, gradient_accumulation=2)
     train_step = make_train_step(model, cfg, tx)
     mesh = create_mesh()
@@ -244,8 +251,11 @@ def main():
             'vs_baseline': round(value / baseline, 4) if baseline else 1.0,
         })
     if MODE in ('all', 'train'):
-        train = measure_train()
-        if MODE == 'train':
+        try:
+            train = measure_train()
+        except Exception as e:  # never lose the inference number to a train failure
+            train = {'train_error': f'{type(e).__name__}: {e}'[:200]}
+        if MODE == 'train' and 'train_images_per_sec_chip' in train:
             result.update({
                 'metric': f'mask2former_{ARCH}_train_{HW}x{HW}_b{TRAIN_BATCH}_{DTYPE}',
                 'value': train['train_images_per_sec_chip'],

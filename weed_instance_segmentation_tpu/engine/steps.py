@@ -84,7 +84,11 @@ def make_train_step(model, cfg: Mask2FormerConfig, tx: optax.GradientTransformat
     per call; MultiSteps applies the real update every GA calls."""
     loss_fn = make_loss_fn(model, cfg)
 
-    @jax.jit
+    # Donating the state lets XLA update params/opt_state in place instead
+    # of holding old+new copies live across the update — with AdamW +
+    # MultiSteps that is 4 param-sized trees (params, mu, nu, acc_grads),
+    # ~3.5 GB for Swin-L, the difference between b2 and b4 fitting in v5e
+    # HBM. Every call site consumes the step as `state, loss = step(state,…)`.
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -94,7 +98,7 @@ def make_train_step(model, cfg: Mask2FormerConfig, tx: optax.GradientTransformat
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return train_step
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def make_eval_step(model, cfg: Mask2FormerConfig) -> Callable:

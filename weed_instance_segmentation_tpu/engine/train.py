@@ -296,8 +296,14 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         device_time = 0.0  # host time spent in (async-dispatched) steps
         import time as _time
 
+        # Per-step float(loss) would block the host every step, stalling
+        # dispatch of step k+1 (and its host→HBM transfer) behind compute k.
+        # Keep losses on device and sync every SYNC_EVERY steps — deep
+        # enough to pipeline, shallow enough to bound in-flight batches in
+        # HBM (≤ SYNC_EVERY live batches).
+        SYNC_EVERY = 8
         for epoch in range(start_epoch, config.EPOCHS):
-            total_loss = 0.0
+            epoch_losses = []
             steps = 0
             print(f'\nEpoch {epoch + 1}/{config.EPOCHS}')
             t_mark = _time.perf_counter()
@@ -309,16 +315,20 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 if profile_dir and global_step == 3:
                     jax.profiler.start_trace(profile_dir)
                 state, loss = train_step(state, batch, rng)
-                total_loss += float(loss)
+                epoch_losses.append(loss)
                 steps += 1
                 global_step += 1
+                if steps % SYNC_EVERY == 0:
+                    jax.block_until_ready(loss)
                 if profile_dir and global_step == 8:
                     jax.profiler.stop_trace()
                     print(f'\tProfiler trace written to {profile_dir}')
                     profile_dir = None
                 t_mark = _time.perf_counter()
                 device_time += t_mark - t_have_batch
-            avg_train_loss = total_loss / max(steps, 1)
+            avg_train_loss = (
+                float(np.mean([float(l) for l in epoch_losses])) if epoch_losses else 0.0
+            )
             print(f'\tEpoch {epoch + 1} Avg Loss: {avg_train_loss:.4f}')
 
             avg_val_loss = evaluate(
