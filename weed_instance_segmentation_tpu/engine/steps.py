@@ -48,11 +48,18 @@ def create_train_state(params, learning_rate: float, gradient_accumulation: int 
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0)), tx
 
 
-def make_loss_fn(model, cfg: Mask2FormerConfig) -> Callable:
+def make_loss_fn(model, cfg: Mask2FormerConfig, augment=None) -> Callable:
     """(params, batch, rng) → (total, dict). Batch uses the static-shape
-    layout from ``dataset_utils.pad_batch_static``."""
+    layout from ``dataset_utils.pad_batch_static``. ``augment`` is an
+    optional AugmentConfig (processing/augment.py) applied on device inside
+    the compiled step — the reference trains without augmentation, so None
+    (the default) is the parity behavior."""
 
     def loss_fn(params, batch, rng):
+        if augment is not None:
+            from weed_instance_segmentation_tpu.processing.augment import augment_batch
+
+            batch = augment_batch(batch, jax.random.fold_in(rng, 3), augment)
         outputs = model.apply(
             {'params': params}, batch['pixel_values'], deterministic=False,
             rngs={'dropout': jax.random.fold_in(rng, 1)},
@@ -79,10 +86,11 @@ def make_loss_fn(model, cfg: Mask2FormerConfig) -> Callable:
     return loss_fn
 
 
-def make_train_step(model, cfg: Mask2FormerConfig, tx: optax.GradientTransformation) -> Callable:
+def make_train_step(model, cfg: Mask2FormerConfig, tx: optax.GradientTransformation,
+                    augment=None) -> Callable:
     """Returns jitted (state, batch, rng) → (state, loss). One micro-batch
     per call; MultiSteps applies the real update every GA calls."""
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = make_loss_fn(model, cfg, augment=augment)
 
     # Donating the state lets XLA update params/opt_state in place instead
     # of holding old+new copies live across the update — with AdamW +

@@ -250,7 +250,16 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         state, tx = create_train_state(
             params, config.LEARNING_RATE, config.GRADIENT_ACCUMULATION
         )
-        train_step = make_train_step(model, model_cfg, tx)
+        # WISTPU_AUGMENT=1 → device-side flip/scale/color augmentation fused
+        # into the compiled step (processing/augment.py); default off =
+        # reference parity (the reference trains without augmentation)
+        from weed_instance_segmentation_tpu.processing.augment import from_env as _augment_env
+
+        augment = _augment_env()
+        if augment is not None:
+            print(f'Device-side augmentation enabled: {augment}')
+            metadata['augmentation'] = str(augment)
+        train_step = make_train_step(model, model_cfg, tx, augment=augment)
         eval_step = make_eval_step(model, model_cfg)
 
         best_val_loss = float('inf')
