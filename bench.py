@@ -110,7 +110,7 @@ def measure_train() -> dict:
     import numpy as np
 
     from weed_instance_segmentation_tpu.datasets.dataset_utils import pad_batch_static
-    from weed_instance_segmentation_tpu.datasets.loader import DataLoader
+    from weed_instance_segmentation_tpu.datasets.loader import DataLoader, prefetch_iterator
     from weed_instance_segmentation_tpu.engine.steps import (
         create_train_state, make_train_step,
     )
@@ -166,7 +166,8 @@ def measure_train() -> dict:
             yield shard_batch(pad_batch_static(samples, (HW, HW), MAX_INSTANCES), mesh)
 
     key = jax.random.PRNGKey(0)
-    it = device_batches()
+    # pad+transfer prefetched off the dispatch thread, as in the train driver
+    it = prefetch_iterator(device_batches(), depth=2)
     # warmup: 2 steps (compile + MultiSteps inner path)
     for _ in range(2):
         state, loss = train_step(state, next(it), key)

@@ -1,9 +1,11 @@
 """Per-host input sharding in datasets.loader.DataLoader (host-only logic —
-the cross-process execution path is covered by tests/test_multihost.py)."""
+the cross-process execution path is covered by tests/test_multihost.py),
+plus the generic device-batch prefetch wrapper."""
 
 import numpy as np
+import pytest
 
-from weed_instance_segmentation_tpu.datasets.loader import DataLoader
+from weed_instance_segmentation_tpu.datasets.loader import DataLoader, prefetch_iterator
 
 
 def _dataset(n):
@@ -78,3 +80,40 @@ def test_prefetch_path_matches_sync_path():
     pre = _batches(DataLoader(_dataset(13), 4, prefetch=2, **kw))
     assert [b['i'] for b in sync] == [b['i'] for b in pre]
     assert [b['num_valid'] for b in sync] == [b['num_valid'] for b in pre]
+
+
+def test_prefetch_iterator_order_and_completion():
+    assert list(prefetch_iterator(iter(range(20)), depth=3)) == list(range(20))
+    assert list(prefetch_iterator(iter([]), depth=2)) == []
+    assert list(prefetch_iterator(iter([1]), depth=0)) == [1]
+
+
+def test_prefetch_iterator_propagates_exceptions():
+    def gen():
+        yield 1
+        raise RuntimeError('producer boom')
+
+    it = prefetch_iterator(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match='producer boom'):
+        list(it)
+
+
+def test_prefetch_iterator_abandonment_stops_producer():
+    import threading
+    import time
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch_iterator(gen(), depth=1)
+    assert next(it) == 0
+    it.close()  # consumer walks away
+    n_before = len(produced)
+    time.sleep(0.6)  # > the producer's 0.2s put timeout
+    assert len(produced) <= n_before + 2  # at most one extra item in flight
+    assert threading.active_count() < 20

@@ -130,3 +130,55 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def prefetch_iterator(it, depth: int = 2):
+    """Run ``it`` in a background thread, keeping up to ``depth`` items
+    ready ahead of the consumer.
+
+    The second half of the host→HBM overlap: DataLoader's prefetch hides
+    sample loading/decoding, but the engine still does static-pad collation
+    (tens of MB of memcpy per batch) and the device transfer on the
+    consumer thread. Wrapping the *device-batch* generator in this moves
+    that work into the step's device-compute window — numpy copies and
+    ``device_put`` release the GIL, so even one host core overlaps them
+    with the dispatched step. Exceptions in ``it`` re-raise in the
+    consumer; abandoning the iterator stops the thread."""
+    if depth <= 0:
+        yield from it
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for item in it:
+                if not _put(item):
+                    return
+        except Exception as e:  # re-raised in the consumer
+            _put(e)
+            return
+        _put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -35,7 +35,7 @@ from weed_instance_segmentation_tpu.datasets.dataset_utils import (
     pad_batch_static, process_and_save,
 )
 from weed_instance_segmentation_tpu.datasets.factory import get_dataset_and_config
-from weed_instance_segmentation_tpu.datasets.loader import DataLoader
+from weed_instance_segmentation_tpu.datasets.loader import DataLoader, prefetch_iterator
 from weed_instance_segmentation_tpu.engine import checkpoint as ckpt
 from weed_instance_segmentation_tpu.engine.metrics import (
     prepare_metrics_for_json, print_metrics_evaluation, test_with_metrics,
@@ -119,9 +119,9 @@ def evaluate(eval_step, params, loader, pad_hw, max_instances, mesh, batch_size,
     if description is not None:
         print(f'\tStarting {description}')
     rng = jax.random.PRNGKey(0)
-    for i, batch in enumerate(
+    for i, batch in enumerate(prefetch_iterator(
         _device_batches(loader, pad_hw, max_instances, mesh, batch_size)
-    ):
+    )):
         loss = float(eval_step(params, batch, jax.random.fold_in(rng, i)))
         total += loss
         count += 1
@@ -316,9 +316,11 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
             steps = 0
             print(f'\nEpoch {epoch + 1}/{config.EPOCHS}')
             t_mark = _time.perf_counter()
-            for batch in _device_batches(
+            # prefetch_iterator moves static-pad collation + host→HBM
+            # transfer off the step-dispatch thread (≥80% duty north star)
+            for batch in prefetch_iterator(_device_batches(
                 train_loader, pad_hw, max_instances, mesh, batch_size
-            ):
+            )):
                 t_have_batch = _time.perf_counter()
                 input_wait += t_have_batch - t_mark
                 if profile_dir and global_step == 3:
