@@ -125,25 +125,33 @@ def measure_train() -> dict:
     rng = np.random.default_rng(0)
 
     class Synth:
-        """Synthetic samples in the preprocessed-cache schema; generated in
-        __getitem__ so the loader's prefetch thread does real host work."""
+        """Synthetic samples in the preprocessed-cache schema. A small pool
+        is pre-generated so per-item host cost resembles reading the .npz
+        cache (the real path), not numpy RNG throughput; masks are uint8
+        binary exactly like the cache stores them."""
+
+        _POOL = 8
+
+        def __init__(self):
+            self._samples = []
+            for i in range(self._POOL):
+                r = np.random.default_rng(i)
+                n_inst = MAX_INSTANCES
+                masks = np.zeros((n_inst, HW, HW), np.uint8)
+                for j in range(n_inst):
+                    y, x = r.integers(0, HW - 64, size=2)
+                    masks[j, y : y + 64, x : x + 64] = 1
+                self._samples.append({
+                    'pixel_values': r.standard_normal((3, HW, HW)).astype(np.float32),
+                    'mask_labels': masks,
+                    'class_labels': r.integers(0, cfg.num_labels, size=(n_inst,)),
+                })
 
         def __len__(self):
             return TRAIN_BATCH * (TRAIN_ITERS + 4)
 
         def __getitem__(self, i):
-            r = np.random.default_rng(i)
-            n_inst = MAX_INSTANCES
-            masks = np.zeros((n_inst, HW, HW), np.float32)
-            for j in range(n_inst):
-                y, x = r.integers(0, HW - 64, size=2)
-                masks[j, y : y + 64, x : x + 64] = 1.0
-            return {
-                'pixel_values': r.standard_normal((3, HW, HW)).astype(np.float32),
-                'mask_labels': masks,
-                'class_labels': r.integers(0, cfg.num_labels, size=(n_inst,)),
-                'file_name': f'synth_{i}.png',
-            }
+            return dict(self._samples[i % self._POOL], file_name=f'synth_{i}.png')
 
     def collate(items):
         return {
@@ -251,12 +259,32 @@ def main():
             'unit': 'images/sec/chip',
             'vs_baseline': round(value / baseline, 4) if baseline else 1.0,
         })
-    if MODE in ('all', 'train'):
+    if MODE == 'all':
+        # isolate train mode in a subprocess with a hard timeout: a remote-
+        # compile hang or HBM OOM must never lose the inference number
+        import subprocess
+
+        budget = int(os.environ.get('BENCH_TRAIN_TIMEOUT', '2100'))
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, 'BENCH_MODE': 'train'},
+                capture_output=True, text=True, timeout=budget,
+            )
+            lines = [l for l in p.stdout.strip().splitlines() if l.startswith('{')]
+            sub = json.loads(lines[-1]) if lines else {}
+            train = {k: v for k, v in sub.items() if k.startswith('train_')}
+            if not train:
+                train = {'train_error': (p.stdout + p.stderr)[-200:]}
+        except subprocess.TimeoutExpired:
+            train = {'train_error': f'train bench exceeded {budget}s (compile hang?)'}
+        result.update(train)
+    if MODE == 'train':
         try:
             train = measure_train()
-        except Exception as e:  # never lose the inference number to a train failure
+        except Exception as e:  # never lose the JSON line to a train failure
             train = {'train_error': f'{type(e).__name__}: {e}'[:200]}
-        if MODE == 'train' and 'train_images_per_sec_chip' in train:
+        if 'train_images_per_sec_chip' in train:
             result.update({
                 'metric': f'mask2former_{ARCH}_train_{HW}x{HW}_b{TRAIN_BATCH}_{DTYPE}',
                 'value': train['train_images_per_sec_chip'],

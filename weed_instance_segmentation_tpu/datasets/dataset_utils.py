@@ -133,12 +133,17 @@ def pad_batch_static(
     Returns arrays (no lists) so the jitted train step never recompiles:
       pixel_values  (B, 3, H, W) float32
       pixel_mask    (B, H, W)    float32   1=real pixel
-      mask_labels   (B, I, H, W) float32   binary, zero-padded
+      mask_labels   (B, I, H, W) uint8     binary, zero-padded
       class_labels  (B, I)       int32     zero-padded
       instance_valid(B, I)       float32   1=real instance
       sample_valid  (B,)         float32   1=real sample (callers that pad
                                  short batches with repeats zero these so
                                  padding contributes nothing to the loss)
+
+    ``mask_labels`` travel as uint8: the masks are exactly 0/1 and dominate
+    the per-batch host→HBM bytes (I·H·W vs 3·H·W), so shipping them at 1
+    byte instead of float32 cuts the transfer ~4× — the consumer (the loss,
+    or augment) casts on device where the cast fuses for free.
     """
     if max_instances is None:
         max_instances = config.MAX_INSTANCES
@@ -146,7 +151,7 @@ def pad_batch_static(
     b = len(batch)
     pixel_values = np.zeros((b, 3, ph, pw), dtype=np.float32)
     pixel_mask = np.zeros((b, ph, pw), dtype=np.float32)
-    mask_labels = np.zeros((b, max_instances, ph, pw), dtype=np.float32)
+    mask_labels = np.zeros((b, max_instances, ph, pw), dtype=np.uint8)
     class_labels = np.zeros((b, max_instances), dtype=np.int32)
     instance_valid = np.zeros((b, max_instances), dtype=np.float32)
 

@@ -56,6 +56,9 @@ def make_loss_fn(model, cfg: Mask2FormerConfig, augment=None) -> Callable:
     (the default) is the parity behavior."""
 
     def loss_fn(params, batch, rng):
+        # masks arrive uint8 (pad_batch_static ships them at 1 byte/px to
+        # quarter the host→HBM transfer); cast on device, where XLA fuses it
+        batch = dict(batch, mask_labels=batch['mask_labels'].astype(jnp.float32))
         if augment is not None:
             from weed_instance_segmentation_tpu.processing.augment import augment_batch
 
@@ -117,7 +120,7 @@ def make_eval_step(model, cfg: Mask2FormerConfig) -> Callable:
         outputs = model.apply({'params': params}, batch['pixel_values'], deterministic=True)
         loss, _ = total_loss(
             outputs,
-            batch['mask_labels'],
+            batch['mask_labels'].astype(jnp.float32),
             batch['class_labels'],
             batch['instance_valid'].astype(bool),
             rng,
