@@ -114,13 +114,19 @@ def measure_train() -> dict:
     from weed_instance_segmentation_tpu.engine.steps import (
         create_train_state, make_train_step,
     )
-    from weed_instance_segmentation_tpu.parallel.mesh import create_mesh, shard_batch
+    from weed_instance_segmentation_tpu.parallel.mesh import (
+        create_mesh, replicate_tree, shard_batch,
+    )
 
     # remat: Swin-L 800² training activations exceed HBM without it
     cfg, model, params = _model(remat=os.environ.get('BENCH_REMAT', '1') == '1')
     state, tx = create_train_state(params, 5e-5, gradient_accumulation=2)
     train_step = make_train_step(model, cfg, tx)
     mesh = create_mesh()
+    # pre-place the state with its steady sharding: otherwise call 1 (numpy
+    # state) and call 2 (device state) have different arg shardings and the
+    # step compiles TWICE (~4-8 min each through the tunnel)
+    state = replicate_tree(state, mesh)
 
     rng = np.random.default_rng(0)
 

@@ -281,11 +281,13 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 f'Resumed from {resume_dir}: epoch {start_epoch}, '
                 f'micro-step {int(state.step)}, best val loss {best_val_loss:.4f}'
             )
-        if multihost:
-            # multi-controller jit needs every input as a global array;
-            # params/opt state are identical on all hosts (deterministic
-            # init or shared-fs checkpoint), so replication is local-only
-            state = replicate_tree(state, mesh)
+        # Pre-place the state with its steady mesh sharding. Multi-host:
+        # multi-controller jit needs every input as a global array
+        # (params/opt state are identical on all hosts — deterministic init
+        # or shared-fs checkpoint — so replication is local-only).
+        # Single-host: skipping this leaves call 1 with numpy-backed state
+        # and call 2 with device state → two full XLA compiles of the step.
+        state = replicate_tree(state, mesh)
         print('Starting Training...')
 
         end_time = datetime.now()
