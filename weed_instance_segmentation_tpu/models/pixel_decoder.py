@@ -27,6 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from weed_instance_segmentation_tpu.models.configuration import Mask2FormerConfig
 from weed_instance_segmentation_tpu.models.position_embedding import sine_position_embedding
@@ -104,6 +105,11 @@ class MSDeformAttn(nn.Module):
         locations = ref + offsets / offset_normalizer[None, None, None, :, None, :]
 
         out = msda(value, spatial_shapes, locations, attn)
+        # named checkpoint: under remat, save this (B, L, C) activation
+        # (~13 MB/layer bf16) instead of re-running the gather chain — the
+        # recompute is the one expensive part of the layer (see the remat
+        # policy in PixelDecoder)
+        out = checkpoint_name(out, 'msda_out')
         out = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, dtype=self.dtype,
                        name='output_proj')(out)
         return out
@@ -157,8 +163,16 @@ class PixelDecoder(nn.Module):
         cfg = self.config
         dim = cfg.feature_size
         nl = cfg.num_feature_levels
+        # remat with a carve-out: everything in the layer is recomputed in
+        # the backward EXCEPT the deformable-sampling output ('msda_out') —
+        # LN/FFN recompute is nearly free, the 12-gather sampling chain is
+        # not (~35 ms/layer at Swin-L 800²)
         Layer = (
-            nn.remat(EncoderLayer, static_argnums=(4, 5)) if self.remat else EncoderLayer
+            nn.remat(
+                EncoderLayer, static_argnums=(4, 5),
+                policy=jax.checkpoint_policies.save_only_these_names('msda_out'),
+            )
+            if self.remat else EncoderLayer
         )
 
         # input projections on the nl highest-stride features, highest first
