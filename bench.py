@@ -237,19 +237,64 @@ def measure_torch_baseline(iters: int = 2) -> float:
     return BATCH * iters / dt
 
 
+def measure_torch_train_baseline(iters: int = 2) -> float:
+    """The reference stack's TRAINING step on CPU: HF Mask2Former Swin-L
+    forward-with-labels + backward + AdamW at the train-bench config
+    (BASELINE.md config 5's denominator)."""
+    import numpy as np
+    import torch
+    from transformers.models.mask2former import modeling_mask2former as hf
+    from transformers.models.swin.configuration_swin import SwinConfig as HFSwinConfig
+
+    swin = HFSwinConfig(
+        embed_dim=192, depths=[2, 2, 18, 2], num_heads=[6, 12, 24, 48],
+        window_size=12, out_features=['stage1', 'stage2', 'stage3', 'stage4'],
+        use_absolute_embeddings=False,
+    )
+    cfg = hf.Mask2FormerConfig(backbone_config=swin, num_queries=200, num_labels=5)
+    model = hf.Mask2FormerForUniversalSegmentation(cfg).train()
+    opt = torch.optim.AdamW(model.parameters(), lr=5e-5)
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(
+        rng.standard_normal((TRAIN_BATCH, 3, HW, HW)).astype(np.float32)
+    )
+    masks = [
+        torch.from_numpy((rng.random((MAX_INSTANCES, HW, HW)) > 0.9).astype(np.float32))
+        for _ in range(TRAIN_BATCH)
+    ]
+    classes = [
+        torch.from_numpy(rng.integers(0, 5, (MAX_INSTANCES,)))
+        for _ in range(TRAIN_BATCH)
+    ]
+
+    def step():
+        out = model(pixel_values=x, mask_labels=masks, class_labels=classes)
+        out.loss.backward()
+        opt.step()
+        opt.zero_grad()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    return TRAIN_BATCH * iters / dt
+
+
 def main():
     if '--measure-baseline' in sys.argv:
         ips = measure_torch_baseline()
+        baseline = {
+            'torch_cpu_images_per_sec': ips,
+            'arch': ARCH, 'batch': BATCH, 'hw': HW,
+            'stack': 'torch-cpu transformers==4.57.6',
+        }
+        if '--train' in sys.argv:
+            baseline['torch_cpu_train_images_per_sec'] = measure_torch_train_baseline()
+            baseline['train_batch'] = TRAIN_BATCH
         with open(BASELINE_FILE, 'w') as f:
-            json.dump(
-                {
-                    'torch_cpu_images_per_sec': ips,
-                    'arch': ARCH, 'batch': BATCH, 'hw': HW,
-                    'stack': 'torch-cpu transformers==4.57.6',
-                },
-                f, indent=2,
-            )
-        print(json.dumps({'baseline_images_per_sec': ips}))
+            json.dump(baseline, f, indent=2)
+        print(json.dumps({k: v for k, v in baseline.items() if 'images_per_sec' in k}))
         return
 
     result = {}
@@ -292,6 +337,13 @@ def main():
             train = measure_train()
         except Exception as e:  # never lose the JSON line to a train failure
             train = {'train_error': f'{type(e).__name__}: {e}'[:200]}
+        if 'train_images_per_sec_chip' in train and os.path.exists(BASELINE_FILE):
+            with open(BASELINE_FILE) as f:
+                tb = json.load(f).get('torch_cpu_train_images_per_sec')
+            if tb:
+                train['train_vs_baseline'] = round(
+                    train['train_images_per_sec_chip'] / tb, 4
+                )
         if 'train_images_per_sec_chip' in train:
             result.update({
                 'metric': f'mask2former_{ARCH}_train_{HW}x{HW}_b{TRAIN_BATCH}_{DTYPE}',
