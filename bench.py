@@ -118,8 +118,11 @@ def measure_train() -> dict:
         create_mesh, replicate_tree, shard_batch,
     )
 
-    # remat: Swin-L 800² training activations exceed HBM without it
-    cfg, model, params = _model(remat=os.environ.get('BENCH_REMAT', '1') == '1')
+    # remat: Swin-L 800² training activations exceed HBM without it.
+    # BENCH_REMAT: 1 (backbone+encoder), encoder (encoder only), 0 (off)
+    remat_env = os.environ.get('BENCH_REMAT', '1')
+    remat = {'0': False, '1': True}.get(remat_env, remat_env)
+    cfg, model, params = _model(remat=remat)
     state, tx = create_train_state(params, 5e-5, gradient_accumulation=2)
     train_step = make_train_step(model, cfg, tx)
     mesh = create_mesh()

@@ -64,10 +64,16 @@ PAD_TO_MULTIPLE = _env('PAD_TO_MULTIPLE', 32, int)
 # Mixed precision for the compute path (params stay float32).
 COMPUTE_DTYPE = _env('COMPUTE_DTYPE', 'float32')
 
-# Rematerialization (gradient checkpointing): recompute backbone/encoder
-# block activations in the backward pass instead of storing them — trades
-# ~30% step FLOPs for the memory that high-res Swin-L training needs.
-REMAT = _env('REMAT', False, bool)
+# Rematerialization (gradient checkpointing): recompute activations in the
+# backward pass instead of storing them — trades step FLOPs for the memory
+# that high-res Swin-L training needs. Values: 0/false (store everything),
+# 1/true (backbone + deformable encoder), 'encoder' (deformable encoder
+# only — cheapest once HBM has headroom).
+_remat_raw = os.environ.get('WISTPU_REMAT', '')
+if _remat_raw.lower() == 'encoder':
+    REMAT: bool | str = 'encoder'
+else:
+    REMAT = _env('REMAT', False, bool)
 
 # Device mesh: data-parallel axis size (None = all visible devices).
 DATA_PARALLEL = _env('DATA_PARALLEL', None, int)

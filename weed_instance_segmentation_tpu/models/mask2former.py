@@ -47,19 +47,24 @@ class Mask2FormerOutput(NamedTuple):
 class Mask2Former(nn.Module):
     config: Mask2FormerConfig
     dtype: jnp.dtype = jnp.float32
-    # rematerialize backbone/encoder blocks in the backward pass (config.REMAT)
-    remat: bool = False
+    # rematerialize activations in the backward pass (config.REMAT):
+    # True/'all' = backbone + deformable encoder; 'encoder' = deformable
+    # encoder only (the backbone recompute is matmul-bound and cheap to
+    # store once HBM has headroom); False = store everything
+    remat: bool | str = False
 
     def setup(self):
         cfg = self.config
+        remat_backbone = self.remat in (True, 'all', '1')
+        remat_encoder = bool(self.remat)
         if isinstance(cfg.backbone_config, SwinConfig):
             self.backbone = SwinBackbone(cfg.backbone_config, dtype=self.dtype,
-                                         remat=self.remat)
+                                         remat=remat_backbone)
         elif isinstance(cfg.backbone_config, ResNetConfig):
             self.backbone = ResNetBackbone(cfg.backbone_config, dtype=self.dtype)
         else:
             raise ValueError(f'Unsupported backbone config {type(cfg.backbone_config)}')
-        self.pixel_decoder = PixelDecoder(cfg, dtype=self.dtype, remat=self.remat)
+        self.pixel_decoder = PixelDecoder(cfg, dtype=self.dtype, remat=remat_encoder)
         self.transformer_module = TransformerModule(cfg, dtype=self.dtype)
         self.class_predictor = nn.Dense(
             cfg.num_labels + 1, dtype=self.dtype, name='class_predictor'
