@@ -114,19 +114,21 @@ def _device_batches(loader, pad_hw, max_instances, mesh, batch_size):
 def evaluate(eval_step, params, loader, pad_hw, max_instances, mesh, batch_size,
              description: str | None = None) -> float:
     """Average per-batch loss (reference evaluate, train.py:18-37)."""
-    total = 0.0
     count = 0
     if description is not None:
         print(f'\tStarting {description}')
     rng = jax.random.PRNGKey(0)
+    losses = []
     for i, batch in enumerate(prefetch_iterator(
         _device_batches(loader, pad_hw, max_instances, mesh, batch_size)
     )):
-        loss = float(eval_step(params, batch, jax.random.fold_in(rng, i)))
-        total += loss
+        # keep losses on device so dispatch pipelines; sync only to print
+        loss = eval_step(params, batch, jax.random.fold_in(rng, i))
+        losses.append(loss)
         count += 1
         if description is not None and (i + 1) % 10 == 0:
-            print(f'\t\t{description} Step {i + 1}/{len(loader)} - Loss: {loss:.4f}')
+            print(f'\t\t{description} Step {i + 1}/{len(loader)} - Loss: {float(loss):.4f}')
+    total = float(np.sum([float(l) for l in losses])) if losses else 0.0
     return total / max(count, 1)
 
 
