@@ -68,10 +68,14 @@ def _run(module, env, timeout=1500):
 
 def test_train_then_eval_entry_points(workdir):
     env = _env(workdir)
+    # multi-dataset training WITH the device-side augmentation pipeline
+    # enabled — the BASELINE.md config-4 shape (full augmentation e2e)
+    env['WISTPU_AUGMENT'] = '1'
 
     # --- train: preprocess → epoch → checkpoints → test phase → metadata ---
     out = _run('weed_instance_segmentation_tpu.engine.train', env)
     assert 'Saved new best model' in out
+    assert 'Device-side augmentation enabled' in out
 
     runs = sorted(glob.glob(str(workdir / 'out/models/mask2former_fine_tuned/*')))
     assert runs, out
@@ -84,6 +88,7 @@ def test_train_then_eval_entry_points(workdir):
         'epochs', 'gradient_accumulation', 'max_input_dim', 'preprocessing_time',
         'data_and_model_loading_time', 'training_history', 'training_time',
         'test_metrics', 'test_time', 'end_time', 'total_time',
+        'input_duty_cycle', 'augmentation',
     ):
         assert key in metadata, key
     assert len(metadata['training_history']) == 1
