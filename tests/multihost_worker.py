@@ -10,8 +10,12 @@ Launched with PYTHONPATH excluding the image's axon sitecustomize so the
 CPU platform selection sticks (the sitecustomize force-registers the TPU
 tunnel backend).
 
-argv[1] is a JSON config: {pid, nproc, port, devices, out, steps}.
-Writes the per-step loss sequence as JSON to ``out`` (process 0 only).
+argv[1] is a JSON config: {pid, nproc, port, devices, out, steps, mp}.
+``mp`` > 1 builds the 2-D ('data','model') mesh and weight-shards the train
+state over 'model' (parallel.mesh.shard_tree); the final state is then
+assembled host-locally via ``fetch_tree`` — the collective checkpoint path.
+Writes the per-step loss sequence (+ a params checksum) as JSON to ``out``
+(process 0 only).
 """
 
 import json
@@ -66,7 +70,8 @@ def main():
     from weed_instance_segmentation_tpu.models.configuration import Mask2FormerConfig
     from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
     from weed_instance_segmentation_tpu.parallel.mesh import (
-        create_mesh, maybe_initialize_distributed, replicate_tree,
+        create_mesh, fetch_tree, maybe_initialize_distributed, replicate_tree,
+        shard_tree,
     )
 
     multihost = maybe_initialize_distributed()
@@ -77,8 +82,13 @@ def main():
     model = Mask2Former(model_cfg)
     params = init_params(model, model_cfg, image_hw=(64, 64))
     state, tx = create_train_state(params, 1e-4, gradient_accumulation=2)
-    mesh = create_mesh()
-    if multihost:
+    mp = int(cfg.get('mp', 1))
+    mesh = create_mesh(None, mp)
+    if mp > 1:
+        # tiny-test weights sit below the production threshold — lower it so
+        # some leaves really shard across the model axis
+        state = shard_tree(state, mesh, min_weight_size=256)
+    elif multihost:
         state = replicate_tree(state, mesh)
     train_step = make_train_step(model, model_cfg, tx)
 
@@ -95,9 +105,22 @@ def main():
             state, loss = train_step(state, batch, rng)
             losses.append(float(loss))
 
+    # the collective checkpoint path: every process assembles a host-local
+    # copy (model-sharded leaves cross hosts via process_allgather)
+    import numpy as np
+
+    fetched = fetch_tree(state)
+    for init_leaf, out_leaf in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(fetched.params)
+    ):
+        assert np.shape(out_leaf) == np.shape(init_leaf)
+    param_sum = float(
+        sum(np.abs(leaf).sum() for leaf in jax.tree_util.tree_leaves(fetched.params))
+    )
+
     if jax.process_index() == 0:
         with open(cfg['out'], 'w') as f:
-            json.dump({'losses': losses}, f)
+            json.dump({'losses': losses, 'param_sum': param_sum}, f)
     print(f"worker {cfg['pid']}/{cfg['nproc']} done: {losses}", flush=True)
 
 

@@ -36,11 +36,11 @@ def _worker_env() -> dict:
     return env
 
 
-def _run_cluster(nproc: int, devices: int, out: str, port: int):
+def _run_cluster(nproc: int, devices: int, out: str, port: int, mp: int = 1):
     procs = []
     for pid in range(nproc):
         cfg = {'pid': pid, 'nproc': nproc, 'port': port,
-               'devices': devices, 'out': out}
+               'devices': devices, 'out': out, 'mp': mp}
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, json.dumps(cfg)],
             env=_worker_env(), cwd=REPO,
@@ -73,3 +73,25 @@ def test_two_host_losses_match_single_process(tmp_path):
     # topology differs (XLA intra-process vs gloo cross-process reduction
     # order), so agreement is to float tolerance, not bit-exact
     np.testing.assert_allclose(single, pair, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_host_model_parallel_matches_single_process(tmp_path):
+    """2 hosts × 4 devices on the 2-D dp4×mp2 mesh == one process with all
+    8 devices on the same mesh: weight shards cross host boundaries, and
+    the final ``fetch_tree`` (collective checkpoint assembly) must return
+    identical full params on both topologies."""
+    single_out = str(tmp_path / 'single_mp.json')
+    pair_out = str(tmp_path / 'pair_mp.json')
+
+    _run_cluster(1, 8, single_out, _free_port(), mp=2)
+    _run_cluster(2, 4, pair_out, _free_port(), mp=2)
+
+    with open(single_out) as f:
+        single = json.load(f)
+    with open(pair_out) as f:
+        pair = json.load(f)
+
+    assert len(single['losses']) == len(pair['losses']) == 4
+    np.testing.assert_allclose(single['losses'], pair['losses'], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(single['param_sum'], pair['param_sum'], rtol=1e-3)

@@ -75,8 +75,12 @@ if _remat_raw.lower() == 'encoder':
 else:
     REMAT = _env('REMAT', False, bool)
 
-# Device mesh: data-parallel axis size (None = all visible devices).
+# Device mesh: data-parallel axis size (None = all visible devices), and
+# optional model axis (>1 → 2-D ('data','model') mesh with weight sharding
+# over 'model'; see parallel/mesh.py shard_tree). Batch size fills the data
+# axis only.
 DATA_PARALLEL = _env('DATA_PARALLEL', None, int)
+MODEL_PARALLEL = _env('MODEL_PARALLEL', None, int)
 
 # Resume training from a prior run: path to a run output dir (containing
 # train_state/) or directly to a train_state dir written by

@@ -89,7 +89,7 @@ def test_with_metrics(forward_fn, params, data_loader, threshold: float = 0.5,
         targets = targets_from_original_maps(batch['original_maps'], batch['id_mappings'])
 
         pixel_values = np.asarray(batch['pixel_values'])
-        if mesh is not None and pixel_values.shape[0] % mesh.devices.size == 0:
+        if mesh is not None and pixel_values.shape[0] % mesh.shape['data'] == 0:
             import jax
 
             from weed_instance_segmentation_tpu.parallel.mesh import batch_sharding

@@ -46,7 +46,8 @@ from weed_instance_segmentation_tpu.engine.steps import (
 )
 from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
 from weed_instance_segmentation_tpu.parallel.mesh import (
-    create_mesh, maybe_initialize_distributed, replicate_tree, shard_batch,
+    create_mesh, fetch_tree, maybe_initialize_distributed, shard_batch,
+    shard_tree,
 )
 
 SPECIFIC_OUTPUT_DIR = os.path.join(config.MODELS_OUTPUT_DIR, 'mask2former_fine_tuned/')
@@ -184,7 +185,7 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         multihost = maybe_initialize_distributed()
         proc_idx, proc_cnt = jax.process_index(), jax.process_count()
         is_main = proc_idx == 0
-        mesh = create_mesh(config.DATA_PARALLEL)
+        mesh = create_mesh(config.DATA_PARALLEL, config.MODEL_PARALLEL)
         print(
             f'Training on mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)'
             + (f', {proc_cnt} hosts (this is host {proc_idx})' if multihost else '')
@@ -234,8 +235,9 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         metadata['preprocessing_time'] = elapsed
         start_time = end_time
 
-        # batch size must fill the data mesh
-        n_dev = mesh.devices.size
+        # batch size must fill the data axis (the batch is replicated
+        # across 'model', so the model axis adds no rows)
+        n_dev = mesh.shape['data']
         batch_size = _round_up(config.BATCH_SIZE, n_dev)
         if batch_size != config.BATCH_SIZE:
             print(f'\tBATCH_SIZE {config.BATCH_SIZE} rounded to {batch_size} for {n_dev} devices')
@@ -283,13 +285,14 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 f'Resumed from {resume_dir}: epoch {start_epoch}, '
                 f'micro-step {int(state.step)}, best val loss {best_val_loss:.4f}'
             )
-        # Pre-place the state with its steady mesh sharding. Multi-host:
+        # Pre-place the state with its steady mesh sharding: replicated on
+        # a 1-D mesh, weight-sharded over 'model' on a 2-D one. Multi-host:
         # multi-controller jit needs every input as a global array
         # (params/opt state are identical on all hosts — deterministic init
-        # or shared-fs checkpoint — so replication is local-only).
+        # or shared-fs checkpoint — so placement is local-only).
         # Single-host: skipping this leaves call 1 with numpy-backed state
         # and call 2 with device state → two full XLA compiles of the step.
-        state = replicate_tree(state, mesh)
+        state = shard_tree(state, mesh)
         print('Starting Training...')
 
         end_time = datetime.now()
@@ -357,17 +360,24 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 'val_loss': avg_val_loss,
             })
 
+            # Model-sharded leaves aren't addressable from host 0 alone;
+            # assemble a host-local copy (collective — all hosts call it)
+            # before the main-host-only writes below.
+            state_save = (
+                fetch_tree(state)
+                if multihost and 'model' in mesh.axis_names else state
+            )
             if avg_val_loss < best_val_loss:
                 best_val_loss = avg_val_loss
                 if is_main:
                     save_path = os.path.join(output_dir, 'best_model')
-                    ckpt.save_pretrained(save_path, state.params, model_cfg, processor)
+                    ckpt.save_pretrained(save_path, state_save.params, model_cfg, processor)
                     print(f'\tSaved new best model (Loss: {best_val_loss:.4f})')
 
             # per-epoch resume point (WISTPU_RESUME target)
             if is_main:
                 ckpt.save_train_checkpoint(
-                    os.path.join(output_dir, 'train_state'), state,
+                    os.path.join(output_dir, 'train_state'), state_save,
                     extra={
                         'epoch': epoch + 1,
                         'best_val_loss': best_val_loss,
@@ -387,12 +397,16 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
             metadata['input_duty_cycle'] = round(duty, 4)
             print(f'\tInput-pipeline duty cycle: {100 * duty:.1f}%')
 
+        state_save = (
+            fetch_tree(state)
+            if multihost and 'model' in mesh.axis_names else state
+        )
         if is_main:
             final_path = os.path.join(output_dir, 'final_model')
-            ckpt.save_pretrained(final_path, state.params, model_cfg, processor)
+            ckpt.save_pretrained(final_path, state_save.params, model_cfg, processor)
             # final resume point (per-epoch saves above cover mid-run crashes)
             ckpt.save_train_checkpoint(
-                os.path.join(output_dir, 'train_state'), state,
+                os.path.join(output_dir, 'train_state'), state_save,
                 extra={
                     'epoch': config.EPOCHS,
                     'best_val_loss': best_val_loss,

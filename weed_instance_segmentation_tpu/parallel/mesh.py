@@ -8,7 +8,13 @@ parameters replicated, gradients all-reduced by XLA's GSPMD partitioner
 partitioned by sharding annotations).
 
 The mesh is built 'data'-major so tensor/pipeline axes can be added later
-without changing call sites (axis names are the public contract).
+without changing call sites (axis names are the public contract). A second
+``'model'`` axis is available (``create_mesh(dp, mp)`` + ``shard_tree``):
+parameters and optimizer state get weight sharding over it (largest
+divisible axis per leaf — FSDP/TP hybrid; XLA's SPMD partitioner decides
+per-matmul whether to all-gather the weight or shard the computation).
+``'model'`` is the minor mesh axis, so its collectives ride adjacent-chip
+ICI links within a data replica.
 """
 
 from __future__ import annotations
@@ -51,18 +57,35 @@ def maybe_initialize_distributed() -> bool:
     return False
 
 
-def create_mesh(data_parallel: int | None = None) -> Mesh:
-    """1-D data-parallel mesh over the visible devices.
+def create_mesh(data_parallel: int | None = None,
+                model_parallel: int | None = None) -> Mesh:
+    """Device mesh over the visible devices.
 
-    ``data_parallel=None`` uses every device; an explicit value must divide
-    the device count (remaining devices are left idle — replicas must be
-    equal-sized for GSPMD).
+    ``model_parallel`` ≤ 1 (the default, and the reference-parity config)
+    gives the 1-D ``('data',)`` mesh; ``data_parallel=None`` uses every
+    device. ``model_parallel`` > 1 gives a 2-D ``('data', 'model')`` mesh
+    with 'model' minor (model-group collectives stay on adjacent chips);
+    batches shard on 'data' only, weights shard on 'model' via
+    ``shard_tree``. An explicit dp×mp product must fit the device count
+    (remaining devices are left idle — replicas must be equal-sized for
+    GSPMD).
     """
     devices = jax.devices()
-    n = data_parallel or len(devices)
-    if n > len(devices):
-        raise ValueError(f'data_parallel={n} exceeds {len(devices)} visible devices')
-    return Mesh(np.asarray(devices[:n]).reshape(n), axis_names=('data',))
+    mp = model_parallel or 1
+    if mp <= 1:
+        n = data_parallel or len(devices)
+        if n > len(devices):
+            raise ValueError(f'data_parallel={n} exceeds {len(devices)} visible devices')
+        return Mesh(np.asarray(devices[:n]).reshape(n), axis_names=('data',))
+    dp = data_parallel or len(devices) // mp
+    if dp * mp > len(devices) or dp < 1:
+        raise ValueError(
+            f'mesh {dp}x{mp} exceeds {len(devices)} visible devices'
+        )
+    return Mesh(
+        np.asarray(devices[: dp * mp]).reshape(dp, mp),
+        axis_names=('data', 'model'),
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -72,6 +95,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _local_data_shards(mesh: Mesh) -> int:
+    """Number of distinct 'data'-axis coordinates this process's devices
+    cover — the batch rows a host feeds (batch is replicated over 'model',
+    so model-axis neighbors don't add rows)."""
+    grid = mesh.devices
+    me = jax.process_index()
+    if grid.ndim == 1:
+        return sum(d.process_index == me for d in grid)
+    return sum(any(d.process_index == me for d in row) for row in grid)
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
@@ -87,11 +121,10 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """
     sharding = batch_sharding(mesh)
     multiprocess = jax.process_count() > 1
-    local_devices = sum(d.process_index == jax.process_index() for d in mesh.devices.flat)
     out = {}
     for key, value in batch.items():
         if hasattr(value, 'shape') and value.ndim >= 1:
-            n_shards = local_devices if multiprocess else mesh.shape['data']
+            n_shards = _local_data_shards(mesh) if multiprocess else mesh.shape['data']
             if value.shape[0] % max(n_shards, 1) != 0:
                 raise ValueError(
                     f'batch axis {value.shape[0]} of {key!r} not divisible by '
@@ -115,10 +148,68 @@ def replicate_tree(tree, mesh: Mesh):
     restored checkpoint), so each addressable device can be fed from the
     local copy via ``make_array_from_callback`` — no cross-host transfer.
     """
-    sharding = replicated(mesh)
+    return _place_tree(tree, jax.tree_util.tree_map(lambda _: replicated(mesh), tree))
+
+
+def model_spec(shape, model_size: int, min_weight_size: int) -> P:
+    """Weight-sharding rule for one leaf: split the largest axis divisible
+    by the model-axis size; leaves too small to be worth a collective (or
+    with no divisible axis — e.g. biases, layernorm scales) replicate."""
+    if model_size <= 1 or int(np.prod(shape, dtype=np.int64)) < min_weight_size:
+        return P()
+    best = None
+    for i, d in enumerate(shape):
+        if d % model_size == 0 and (best is None or d > shape[best]):
+            best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = 'model'
+    return P(*spec)
+
+
+def shard_tree(tree, mesh: Mesh, min_weight_size: int = 2 ** 14):
+    """Place a pytree (TrainState: params + AdamW moments + GA accumulators)
+    with per-leaf weight sharding over the 'model' axis (``model_spec``).
+    On a 1-D mesh this degenerates to ``replicate_tree``. The jitted train
+    step needs no changes: the GSPMD partitioner propagates the leaf
+    shardings through grads/updates, inserting all-gathers/reduce-scatters
+    as it chooses (scaling-book recipe: annotate, let XLA place collectives).
+    """
+    model_size = dict(mesh.shape).get('model', 1)
+    shardings = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(
+            mesh, model_spec(np.shape(leaf), model_size, min_weight_size)
+        ),
+        tree,
+    )
+    return _place_tree(tree, shardings)
+
+
+def fetch_tree(tree):
+    """Host-local numpy copy of a (possibly model-sharded) global pytree,
+    for checkpoint writing. Leaves that are not fully addressable (weight
+    shards live on other hosts) are assembled with a ``process_allgather``
+    — a collective, so EVERY process must call this at the same point, not
+    just the host that writes the file."""
+    def _fetch(leaf):
+        if getattr(leaf, 'is_fully_addressable', True):
+            return jax.device_get(leaf)
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(leaf, tiled=True)
+
+    return jax.tree_util.tree_map(_fetch, tree)
+
+
+def _place_tree(tree, shardings):
+    """Place every leaf with its sharding; multi-process via per-shard
+    callbacks from the host-local copy (no cross-host transfer)."""
     if jax.process_count() > 1:
-        def _rep(leaf):
+        def _put(leaf, sh):
             arr = np.asarray(leaf)
-            return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
-        return jax.tree_util.tree_map(_rep, tree)
-    return jax.device_put(tree, sharding)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx, a=arr: a[idx]
+            )
+        return jax.tree_util.tree_map(_put, tree, shardings)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
