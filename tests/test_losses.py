@@ -268,3 +268,46 @@ def test_sample_valid_excludes_batch_padding(rng):
         use_auxiliary_loss=False,
     )
     assert abs(float(total_unmasked) - losses['dup'][0]) > 1e-6
+
+
+def test_einsum_sampler_matches_gather(rng):
+    """The scatter-free einsum formulation must reproduce the flat-table
+    gather sampler: only the 2×2 bilinear neighbours carry nonzero weight,
+    so values agree to reassociation. Covers interior points, the zeros-
+    padding border region (x ∈ (−0.5, 0)·cell), and out-of-range points."""
+    from weed_instance_segmentation_tpu.losses.criterion import (
+        _sample_points_batch, _sample_points_einsum,
+    )
+
+    n, h, w, p = 3, 17, 23, 40
+    masks = jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+    coords = jnp.asarray(rng.random((n, p, 2)), jnp.float32)
+    # push some points into every edge regime
+    coords = coords.at[:, 0].set(jnp.asarray([0.001, 0.001]))     # near 0 → half-pixel border
+    coords = coords.at[:, 1].set(jnp.asarray([0.999, 0.999]))     # near 1
+    coords = coords.at[:, 2].set(jnp.asarray([-0.2, 0.5]))        # outside the grid
+    coords = coords.at[:, 3].set(jnp.asarray([0.5, 1.2]))         # outside the grid
+
+    ref = _sample_points_batch(masks, coords)
+    # p=40 not divisible by 4 → exercises the single-chunk fallback too
+    out = _sample_points_einsum(masks, coords)
+    out_chunked = _sample_points_einsum(masks, coords, n_chunks=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_chunked), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_einsum_sampler_grad_matches_gather(rng):
+    """grad wrt the masks must agree between formulations (the einsum path
+    exists precisely to change HOW this gradient is computed, not its value)."""
+    from weed_instance_segmentation_tpu.losses.criterion import (
+        _sample_points_batch, _sample_points_einsum,
+    )
+
+    n, h, w, p = 2, 12, 16, 32
+    masks = jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+    coords = jnp.asarray(rng.random((n, p, 2)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((n, p)), jnp.float32)
+
+    g_ref = jax.grad(lambda m: (_sample_points_batch(m, coords) * cot).sum())(masks)
+    g_out = jax.grad(lambda m: (_sample_points_einsum(m, coords) * cot).sum())(masks)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), rtol=1e-5, atol=1e-6)

@@ -37,6 +37,7 @@ SURVEY.md §7.3):
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -44,6 +45,12 @@ import jax.numpy as jnp
 
 from weed_instance_segmentation_tpu.ops.grid_sample import grid_sample_bilinear
 from weed_instance_segmentation_tpu.ops.lap import linear_sum_assignment
+
+# Pred-point sampler for the final losses: 'einsum' (default — backward is
+# MXU matmuls; measured A/B in tools/ab_point_sampler.py) or 'gather' (the
+# flat-table form, backward is a scatter-add). Read once at import; the
+# jitted step traces whichever is active.
+_PRED_SAMPLER = os.environ.get('WISTPU_PRED_SAMPLER', 'einsum')
 
 
 def pad_targets(
@@ -130,6 +137,50 @@ def _sample_points_batch(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
         in_range = (px <= w - 1) & (py <= h - 1)
         out = out + rows[..., g] * (tri * in_range)
     return out
+
+
+def _sample_points_einsum(masks: jnp.ndarray, coords: jnp.ndarray,
+                          n_chunks: int = 4) -> jnp.ndarray:
+    """Same numerics as :func:`_sample_points_batch`, restructured so the
+    BACKWARD is MXU matmuls instead of a (N·P)-row scatter-add (the train
+    step's criterion-backward hot spot — see tools/profile_criterion.py).
+
+    Bilinear sampling is separable: out[i,p] = Σ_y wy[i,p,y] · Σ_x
+    wx[i,p,x] · M[i,y,x], where the tri-weight rows wx = relu(1 − |x −
+    cell|) carry exactly the 2 bilinear neighbour weights and are zero
+    elsewhere — including grid_sample's zeros-padding edge semantics
+    (cells beyond the border simply don't exist; HF:246-275 parity). Every
+    other term of the contraction is exactly 0.0, so forward values match
+    the gather formulation to reassociation (~1 ulp); grad-of-einsum is
+    again an einsum, so the backward never scatters. Points are processed
+    in ``n_chunks`` sequential chunks to bound the (N, P/k, W) weight /
+    intermediate liveness (~150 MB at bench shapes instead of ~600 MB —
+    the remote compile helper rejects large-liveness programs).
+
+    Use for masks that need gradients; for gather-only sampling (targets,
+    uncertainty ranking) the flat-table gather is cheaper — the weight
+    matrices scale with mask resolution (Σ FLOPs ~ N·P·(H+W)).
+    """
+    n, h, w = masks.shape
+    p = coords.shape[1]
+    if p % n_chunks:
+        n_chunks = 1
+    c = p // n_chunks
+    # (K, N, C) point chunks
+    x = (coords[..., 0] * w - 0.5).reshape(n, n_chunks, c).swapaxes(0, 1)
+    y = (coords[..., 1] * h - 0.5).reshape(n, n_chunks, c).swapaxes(0, 1)
+    cols = jnp.arange(w, dtype=coords.dtype)
+    rows = jnp.arange(h, dtype=coords.dtype)
+
+    def one(args):
+        xc, yc = args
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xc[..., None] - cols))  # (N, C, W)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc[..., None] - rows))  # (N, C, H)
+        inter = jnp.einsum('ihw,icw->ich', masks, wx, precision='high')
+        return jnp.einsum('ich,ich->ic', inter, wy, precision='high')
+
+    out = jax.lax.map(one, (x, y))  # (K, N, C)
+    return out.swapaxes(0, 1).reshape(n, p)
 
 
 def _pairwise_sigmoid_ce(pred_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> jnp.ndarray:
@@ -304,7 +355,13 @@ def mask2former_loss(
     )  # (B·N_max, P, 2) — stop-gradient region per HF no_grad (HF:624-634)
     coords = jax.lax.stop_gradient(coords)
 
-    point_logits = _sample_points_batch(pred, coords)
+    # pred needs gradients → einsum sampler (matmul backward, no scatter);
+    # targets are gather-only (stop-gradient) and at full resolution, where
+    # the flat-table gather wins (weight matrices scale with H+W)
+    if _PRED_SAMPLER == 'einsum':
+        point_logits = _sample_points_einsum(pred, coords)
+    else:
+        point_logits = _sample_points_batch(pred, coords)
     point_labels = _sample_points_batch(tgt, coords)
     point_labels = jax.lax.stop_gradient(point_labels)
 
