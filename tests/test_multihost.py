@@ -48,7 +48,9 @@ def _run_cluster(nproc: int, devices: int, out: str, port: int, mp: int = 1):
         ))
     outputs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=900)
+        # generous: workers share one slow CPU core with whatever else the
+        # host runs; under load the pair can take several× the solo time
+        stdout, _ = p.communicate(timeout=2400)
         outputs.append(stdout)
     for p, stdout in zip(procs, outputs):
         assert p.returncode == 0, f'worker failed:\n{stdout[-4000:]}'
