@@ -25,11 +25,20 @@ def inputs(rng):
     return value, loc, w
 
 
-def test_hybrid_primal_equals_fused(inputs):
+def test_hybrid_primal_matches_dispatch(inputs):
+    """Per-dtype primal: f32 → packed (fastest f32 forward), bf16 → fused."""
+    from weed_instance_segmentation_tpu.ops.msda_packed import msda_packed
+
     value, loc, w = inputs
     np.testing.assert_allclose(
         np.asarray(_msda_hybrid(value, SHAPES, loc, w)),
-        np.asarray(msda_fused(value, SHAPES, loc, w)),
+        np.asarray(msda_packed(value, SHAPES, loc, w)),
+        atol=1e-6,
+    )
+    vb = value.astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(_msda_hybrid(vb, SHAPES, loc, w), np.float32),
+        np.asarray(msda_fused(vb, SHAPES, loc, w), np.float32),
         atol=1e-6,
     )
 
@@ -70,4 +79,25 @@ def test_select_dispatch(inputs):
     out_bf16 = msda(value.astype(jnp.bfloat16), SHAPES, loc, w)
     np.testing.assert_allclose(
         np.asarray(out_bf16, np.float32), np.asarray(out_f32), atol=0.05
+    )
+
+
+def test_einsum_value_grad_matches_autodiff(inputs):
+    """The scatter-free value transpose (ops/msda_transpose.py) must equal
+    AD of the packed formulation, incl. out-of-range sampling locations
+    and the chunked sample axis."""
+    from weed_instance_segmentation_tpu.ops.msda_packed import msda_packed
+    from weed_instance_segmentation_tpu.ops.msda_transpose import (
+        msda_value_grad_einsum,
+    )
+
+    value, loc, w = inputs
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal((B, Q, H * D)), jnp.float32
+    )
+    _, vjp = jax.vjp(lambda v: msda_packed(v, SHAPES, loc, w), value)
+    gv_ref, = vjp(cot)
+    gv = msda_value_grad_einsum(SHAPES, loc, w, cot, jnp.float32, chunk=16)
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(gv_ref), rtol=2e-4, atol=2e-5
     )
