@@ -34,7 +34,12 @@ _os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
 # Honor JAX_PLATFORMS even when a site plugin (this image's axon TPU
 # bootstrap) force-registers its backend and overrides the config: re-assert
-# the user's explicit choice. No-op when the variable is unset.
+# the user's explicit choice. No-op when the variable is unset. NOTE: keep
+# the value verbatim — rewriting 'axon' to a priority list ('axon,tpu')
+# makes jax.config hard-initialize the raw libtpu backend ("No jellyfish
+# device found") instead of skipping it. If the axon plugin failed to
+# register at all, the cause is a dropped /root/.axon_site on PYTHONPATH,
+# not the platform name.
 if _os.environ.get('JAX_PLATFORMS'):
     import jax as _jax
 
