@@ -352,7 +352,7 @@ def main():
                 'metric': f'mask2former_{ARCH}_train_{HW}x{HW}_b{TRAIN_BATCH}_{DTYPE}',
                 'value': train['train_images_per_sec_chip'],
                 'unit': 'images/sec/chip',
-                'vs_baseline': 1.0,
+                'vs_baseline': train.get('train_vs_baseline', 1.0),
             })
         result.update(train)
     print(json.dumps(result))

@@ -40,10 +40,13 @@ from weed_instance_segmentation_tpu.ops.msda_transpose import (  # noqa: E402
 )
 
 
+PRECISION = os.environ.get('PRECISION', 'high')
+
+
 def msda_value_grad_einsum(spatial_shapes, sampling_locations, attention_weights,
                            g, chunk=CHUNK):
     return _vg(spatial_shapes, sampling_locations, attention_weights, g, DTYPE,
-               chunk=chunk)
+               chunk=chunk, precision=PRECISION)
 
 
 def make_inputs(seed=0):

@@ -26,12 +26,15 @@ B = int(os.environ.get('B', '2'))
 HW = int(os.environ.get('HW', '800'))
 NI = int(os.environ.get('NI', '10'))
 ITERS = int(os.environ.get('ITERS', '8'))
+# DT=bfloat16 mirrors the bf16 train step (the model emits bf16 logits and
+# the sampler then runs single-pass bf16 MXU — criterion._sample_points_einsum)
+DT = jnp.dtype(os.environ.get('DT', 'float32'))
 Q, NL = 200, 5
 HP = (HW + 31) // 32 * 32 // 4
 
 rng = np.random.default_rng(0)
-cls = jnp.asarray(rng.standard_normal((B, Q, NL + 1)), jnp.float32)
-msk = jnp.asarray(rng.standard_normal((B, Q, HP, HP)), jnp.float32)
+cls = jnp.asarray(rng.standard_normal((B, Q, NL + 1)), DT)
+msk = jnp.asarray(rng.standard_normal((B, Q, HP, HP)), DT)
 tgt_m = jnp.asarray(rng.random((B, NI, HW, HW)) > 0.8, jnp.float32)
 tgt_c = jnp.asarray(rng.integers(0, NL, (B, NI)), jnp.int32)
 valid = jnp.ones((B, NI), bool)
@@ -70,7 +73,7 @@ for round_i in range(2):
     float(chain)
     dt = (time.perf_counter() - t0) / ITERS
     print(
-        f"sampler={os.environ.get('WISTPU_PRED_SAMPLER', 'einsum')!s:7s} "
+        f"sampler={os.environ.get('WISTPU_PRED_SAMPLER', 'einsum')!s:7s} dt={DT.name} "
         f'round {round_i}: grad(total_loss, 11 layers) {dt * 1000:8.1f} ms',
         flush=True,
     )

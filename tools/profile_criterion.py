@@ -52,27 +52,31 @@ def timeit(name, fn, *args):
     return dt
 
 
-def out_with(naux):
-    return Mask2FormerOutput(cls, msk, aux_cls[:naux], aux_msk[:naux])
+# NOTE: cls/msk must be jit ARGUMENTS, not closures — closed-over arrays
+# are serialized into the HLO upload and the remote compile helper rejects
+# the body with HTTP 413 (~64 MB × 11 aux layers of baked constants).
 
 
 def loss_fwd(naux):
-    def f(tgt_m, tgt_c, jitter):
+    def f(cls, msk, tgt_m, tgt_c, jitter):
+        aux_cls = tuple(cls * (1 + 0.01 * i) for i in range(naux))
+        aux_msk = tuple(msk * (1 + 0.01 * i) for i in range(naux))
         loss, _ = total_loss(
-            out_with(naux), tgt_m + jitter, tgt_c, valid, key, num_labels=NL,
+            Mask2FormerOutput(cls, msk + jitter, aux_cls, aux_msk),
+            tgt_m, tgt_c, valid, key, num_labels=NL,
             use_auxiliary_loss=naux > 0,
         )
         return loss * 1e-9
     return f
 
 
-def matcher_only(tgt_m, tgt_c, jitter):
+def matcher_only(cls, msk, tgt_m, tgt_c, jitter):
     a = hungarian_match(msk + jitter, cls, tgt_m, tgt_c, valid, key,
                         12544, 2.0, 5.0, 5.0)
     return a.sum().astype(jnp.float32) * 1e-9
 
 
-def lap_only(tgt_m, tgt_c, jitter):
+def lap_only(cls, msk, tgt_m, tgt_c, jitter):
     cost = jnp.einsum('bnhw,bqhw->bnq', tgt_m[:, :, :HP, :HP], msk) * 1e-4 + jitter
     out = 0.0
     for k in range(11):  # 11 LAP solves = one per layer
@@ -80,10 +84,10 @@ def lap_only(tgt_m, tgt_c, jitter):
     return out.astype(jnp.float32) * 1e-9
 
 
-t_full = timeit('total_loss (10 aux)', loss_fwd(10), tgt_m, tgt_c)
-t_noaux = timeit('total_loss (no aux)', loss_fwd(0), tgt_m, tgt_c)
-t_match = timeit('matcher only (1 layer)', matcher_only, tgt_m, tgt_c)
-t_lap = timeit('11x LAP solves only', lap_only, tgt_m, tgt_c)
+t_full = timeit('total_loss (10 aux)', loss_fwd(10), cls, msk, tgt_m, tgt_c)
+t_noaux = timeit('total_loss (no aux)', loss_fwd(0), cls, msk, tgt_m, tgt_c)
+t_match = timeit('matcher only (1 layer)', matcher_only, cls, msk, tgt_m, tgt_c)
+t_lap = timeit('11x LAP solves only', lap_only, cls, msk, tgt_m, tgt_c)
 print(
     f'\nper-aux-layer: {(t_full - t_noaux) / 10 * 1000:.1f} ms | '
     f'matcher {t_match * 1000:.1f} | LAP(11) {t_lap * 1000:.1f}'

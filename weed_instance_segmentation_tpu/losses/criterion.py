@@ -106,20 +106,31 @@ def _sample_points(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out[0, :, 0, :]
 
 
-def _sample_points_batch(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Per-mask coords variant: masks (N, H, W), coords (N, P, 2) in [0,1]
-    → (N, P). Same numerics as :func:`_sample_points`, restructured for TPU
-    as ONE flat-table gather with the 2×2 corners packed into lanes (XLA's
-    gather is per-row-bound; this replaces 4·N·P scalar gathers with N·P
-    4-lane rows — the loss stack's dominant cost, see engine/steps.py
-    profile notes)."""
+def _patch_table(masks: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """(N, H, W) → (N·H·W, 4) flat table with each 2×2 bilinear
+    neighborhood packed into lanes (one gather row per tap). Build it once
+    and reuse via :func:`_sample_points_table` when the same masks are
+    sampled repeatedly (the 11 aux-layer losses all sample the SAME target
+    masks at full resolution — rebuilding a (N, H, W, 4) table per layer
+    was ~11× the necessary HBM traffic). ``dtype`` allows a bf16 table for
+    binary {0,1} targets: exact values, half the row bytes."""
     n, h, w = masks.shape
-    p = coords.shape[1]
+    if dtype is not None:
+        masks = masks.astype(dtype)
     mp = jnp.pad(masks, ((0, 0), (0, 1), (0, 1)))
-    patch = jnp.stack(
+    return jnp.stack(
         [mp[:, :h, :w], mp[:, :h, 1:w + 1], mp[:, 1:h + 1, :w], mp[:, 1:h + 1, 1:w + 1]],
         axis=-1,
     ).reshape(n * h * w, 4)
+
+
+def _sample_points_table(
+    patch: jnp.ndarray, hw: tuple[int, int], coords: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather-only point sampling from a prebuilt :func:`_patch_table`.
+    patch (N·H·W, 4); coords (N, P, 2) in [0,1] → (N, P) in f32."""
+    h, w = hw
+    n, p = coords.shape[0], coords.shape[1]
 
     x = coords[..., 0] * w - 0.5  # (N, P)
     y = coords[..., 1] * h - 0.5
@@ -128,6 +139,7 @@ def _sample_points_batch(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
     base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None]
     idx = base + (y0c * w + x0c).astype(jnp.int32)
     rows = jnp.take(patch, idx.reshape(-1), axis=0, mode='clip').reshape(n, p, 4)
+    rows = rows.astype(jnp.float32)
 
     out = 0.0
     for g, (ly, lx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
@@ -137,6 +149,16 @@ def _sample_points_batch(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
         in_range = (px <= w - 1) & (py <= h - 1)
         out = out + rows[..., g] * (tri * in_range)
     return out
+
+
+def _sample_points_batch(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Per-mask coords variant: masks (N, H, W), coords (N, P, 2) in [0,1]
+    → (N, P). Same numerics as :func:`_sample_points`, restructured for TPU
+    as ONE flat-table gather with the 2×2 corners packed into lanes (XLA's
+    gather is per-row-bound; this replaces 4·N·P scalar gathers with N·P
+    4-lane rows — the loss stack's dominant cost, see engine/steps.py
+    profile notes)."""
+    return _sample_points_table(_patch_table(masks), masks.shape[1:], coords)
 
 
 def _sample_points_einsum(masks: jnp.ndarray, coords: jnp.ndarray,
@@ -160,12 +182,22 @@ def _sample_points_einsum(masks: jnp.ndarray, coords: jnp.ndarray,
     Use for masks that need gradients; for gather-only sampling (targets,
     uncertainty ranking) the flat-table gather is cheaper — the weight
     matrices scale with mask resolution (Σ FLOPs ~ N·P·(H+W)).
+
+    Dtype: when the mask logits are bf16 (the bf16 training path — the
+    model already emits bf16), the tri-weights are cast to bf16 too and the
+    MXU runs single-pass bf16 instead of promoting everything to f32 and
+    multi-passing at ``precision='high'``; bf16 tri-weights perturb the
+    effective sample point by ≤2⁻⁹ of a pixel. f32 masks keep the exact
+    f32/'high' contraction (parity path).
     """
     n, h, w = masks.shape
     p = coords.shape[1]
     if p % n_chunks:
         n_chunks = 1
     c = p // n_chunks
+    bf16 = masks.dtype == jnp.bfloat16
+    wdt = jnp.bfloat16 if bf16 else coords.dtype
+    prec = 'default' if bf16 else 'high'
     # (K, N, C) point chunks
     x = (coords[..., 0] * w - 0.5).reshape(n, n_chunks, c).swapaxes(0, 1)
     y = (coords[..., 1] * h - 0.5).reshape(n, n_chunks, c).swapaxes(0, 1)
@@ -176,8 +208,10 @@ def _sample_points_einsum(masks: jnp.ndarray, coords: jnp.ndarray,
         xc, yc = args
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(xc[..., None] - cols))  # (N, C, W)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc[..., None] - rows))  # (N, C, H)
-        inter = jnp.einsum('ihw,icw->ich', masks, wx, precision='high')
-        return jnp.einsum('ich,ich->ic', inter, wy, precision='high')
+        inter = jnp.einsum('ihw,icw->ich', masks, wx.astype(wdt), precision=prec)
+        return jnp.einsum(
+            'ich,ich->ic', inter, wy.astype(wdt), precision=prec
+        ).astype(jnp.float32)
 
     out = jax.lax.map(one, (x, y))  # (K, N, C)
     return out.swapaxes(0, 1).reshape(n, p)
@@ -199,7 +233,7 @@ def _pairwise_dice(pred_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - (numerator + 1.0) / (denominator + 1.0)
 
 
-def hungarian_match(
+def matcher_cost(
     masks_queries_logits: jnp.ndarray,
     class_queries_logits: jnp.ndarray,
     target_masks: jnp.ndarray,
@@ -212,14 +246,11 @@ def hungarian_match(
     dice_weight: float,
     point_coords: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Batched device-side matcher (HF:379-484).
-
-    Returns assigned_query (B, N_max) int32 — the query index matched to
-    each (possibly padded) target slot. Padded slots receive a constant-cost
-    column, so they soak up arbitrary leftover queries without changing the
-    optimum for valid slots. ``point_coords`` (B, P, 2) overrides the random
-    draw (for fixed-point parity tests — SURVEY.md §7.4.3).
-    """
+    """Batched matcher cost (HF:379-477) → (B, N_max, Q), the transposed
+    LAP input. Padded target slots get a constant-cost row, so they soak up
+    arbitrary leftover queries without changing the optimum for valid slots.
+    ``point_coords`` (B, P, 2) overrides the random draw (for fixed-point
+    parity tests — SURVEY.md §7.4.3)."""
     b, _, _, _ = masks_queries_logits.shape
     if point_coords is None:
         point_coords = jax.random.uniform(rng, (b, num_points, 2))  # per image (HF:455)
@@ -241,12 +272,36 @@ def hungarian_match(
         cost = jnp.nan_to_num(cost, nan=0.0)
         # padded targets: constant column → assignment of valid rows unchanged
         cost = jnp.where(tvalid[None, :], cost, 0.0)
-        return linear_sum_assignment(cost.T)  # rows = targets → (N,)
+        return cost.T  # rows = targets → (N, Q)
 
     return jax.vmap(one)(
         masks_queries_logits, class_queries_logits, target_masks, target_classes,
         target_valid, point_coords,
     )
+
+
+def hungarian_match(
+    masks_queries_logits: jnp.ndarray,
+    class_queries_logits: jnp.ndarray,
+    target_masks: jnp.ndarray,
+    target_classes: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    rng: jax.Array,
+    num_points: int,
+    class_weight: float,
+    mask_weight: float,
+    dice_weight: float,
+    point_coords: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched device-side matcher (HF:379-484): :func:`matcher_cost` + the
+    on-device LAP. Returns assigned_query (B, N_max) int32 — the query index
+    matched to each (possibly padded) target slot."""
+    cost = matcher_cost(
+        masks_queries_logits, class_queries_logits, target_masks, target_classes,
+        target_valid, rng, num_points, class_weight, mask_weight, dice_weight,
+        point_coords,
+    )
+    return jax.vmap(linear_sum_assignment)(cost)
 
 
 def _uncertainty_points(
@@ -296,6 +351,8 @@ def mask2former_loss(
     axis_name: str | None = None,
     loss_key_suffix: str = '',
     sample_valid: jnp.ndarray | None = None,
+    tgt_patch: jnp.ndarray | None = None,
+    assigned: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """One layer's loss dict {loss_mask, loss_dice, loss_cross_entropy}
     (unweighted — see :func:`total_loss` for the weight map).
@@ -303,18 +360,25 @@ def mask2former_loss(
     ``sample_valid`` (B,) marks real samples; rows padded into a short final
     batch (engine/train.py repeats the last sample to keep the static batch
     shape) are excluded from every term — both the CE normalizer and, via
-    ``target_valid``, the mask/dice sums and ``num_masks``.
+    ``target_valid``, the mask/dice sums and ``num_masks``. ``tgt_patch``
+    is an optional prebuilt :func:`_patch_table` of the flattened target
+    masks, shared across aux layers by :func:`total_loss` (the targets are
+    identical per layer; only the sampled points differ).
     """
     b, q, _ = class_queries_logits.shape
     n_max = target_masks.shape[1]
     if sample_valid is not None:
         target_valid = target_valid & (sample_valid > 0)[:, None]
 
+    # rng is split identically whether or not the assignment is precomputed,
+    # so total_loss's batched-LAP path is bitwise-identical to the inline one
     r_match, r_points = jax.random.split(rng)
-    assigned = hungarian_match(
-        masks_queries_logits, class_queries_logits, target_masks, target_classes,
-        target_valid, r_match, train_num_points, class_weight, mask_weight, dice_weight,
-    )  # (B, N_max)
+    if assigned is None:
+        assigned = hungarian_match(
+            masks_queries_logits, class_queries_logits, target_masks, target_classes,
+            target_valid, r_match, train_num_points, class_weight, mask_weight,
+            dice_weight,
+        )  # (B, N_max)
 
     # num_masks: total valid targets, all-reduced over the data axis,
     # clamped ≥ 1 (HF:782-796)
@@ -362,7 +426,10 @@ def mask2former_loss(
         point_logits = _sample_points_einsum(pred, coords)
     else:
         point_logits = _sample_points_batch(pred, coords)
-    point_labels = _sample_points_batch(tgt, coords)
+    if tgt_patch is not None:
+        point_labels = _sample_points_table(tgt_patch, tgt.shape[1:], coords)
+    else:
+        point_labels = _sample_points_batch(tgt, coords)
     point_labels = jax.lax.stop_gradient(point_labels)
 
     bce = jax.nn.softplus(point_logits) - point_logits * point_labels
@@ -408,12 +475,20 @@ def total_loss(
     weight map + sum-of-dict total (HF:2275-2283). ``sample_valid`` (B,)
     excludes batch-padding repeats from every term.
     """
+    # one target patch table for all layers (targets don't vary per layer;
+    # only the random points do). Binary {0,1} masks are exact in bf16 —
+    # half the gather-row bytes, and bf16 rows gather faster on TPU
+    # (tools/profile_gather.py). Augmentation keeps masks binary (nearest
+    # resampling, processing/augment.py).
+    b = target_masks.shape[0]
+    tgt_flat = target_masks.reshape(b * target_masks.shape[1], *target_masks.shape[2:])
+    tgt_patch = jax.lax.stop_gradient(_patch_table(tgt_flat, dtype=jnp.bfloat16))
     kw = dict(
         num_labels=num_labels, no_object_weight=no_object_weight,
         train_num_points=train_num_points, oversample_ratio=oversample_ratio,
         importance_sample_ratio=importance_sample_ratio, class_weight=class_weight,
         mask_weight=mask_weight, dice_weight=dice_weight, axis_name=axis_name,
-        sample_valid=sample_valid,
+        sample_valid=sample_valid, tgt_patch=tgt_patch,
     )
     layers = [(outputs.masks_queries_logits, outputs.class_queries_logits, '')]
     if use_auxiliary_loss:
@@ -425,11 +500,34 @@ def total_loss(
         ]
     losses: dict[str, jnp.ndarray] = {}
     rngs = jax.random.split(rng, len(layers))
-    for r, (m, c, suffix) in zip(rngs, layers):
+
+    # ---- all layers' assignments in ONE vmapped LAP ----------------------
+    # The JV solver is sequential scalar loops; L separate (vmap-of-B)
+    # instances serialize ~29 ms/step at bench shapes while one (L·B)-wide
+    # vmap runs them in parallel (~3 ms — tools/profile_criterion.py).
+    # Identical costs + identical per-problem solver → identical assignment.
+    tv = target_valid
+    if sample_valid is not None:
+        tv = tv & (sample_valid > 0)[:, None]  # mirror mask2former_loss
+    costs = []
+    for r, (m, c, _) in zip(rngs, layers):
+        r_match = jax.random.split(r)[0]  # same stream as mask2former_loss
+        costs.append(
+            matcher_cost(
+                m, c, target_masks, target_classes, tv, r_match,
+                train_num_points, class_weight, mask_weight, dice_weight,
+            )
+        )
+    lbnq = jnp.stack(costs)  # (L, B, N, Q)
+    l, b_, n_, q_ = lbnq.shape
+    assigned = jax.vmap(linear_sum_assignment)(lbnq.reshape(l * b_, n_, q_))
+    assigned = assigned.reshape(l, b_, n_)
+
+    for i, (r, (m, c, suffix)) in enumerate(zip(rngs, layers)):
         losses.update(
             mask2former_loss(
                 m, c, target_masks, target_classes, target_valid, r,
-                loss_key_suffix=suffix, **kw,
+                loss_key_suffix=suffix, assigned=assigned[i], **kw,
             )
         )
     weight_map = {

@@ -62,10 +62,14 @@ def _msda_hybrid_fwd(value, spatial_shapes, sampling_locations, attention_weight
 
 def _msda_hybrid_bwd(spatial_shapes, residuals, g):
     value, sampling_locations, attention_weights = residuals
-    # locations/weights grads: AD of the packed formulation with the value
-    # table held constant — its backward is gathers only (per-row cheap)
+    # locations/weights grads: AD with the value table held constant — the
+    # backward is then gathers only, so the fastest-gathering formulation
+    # per dtype wins, same dispatch as the forward. For bf16 that's fused
+    # (narrow rows): 40.1 vs 43.0 ms/layer at bench shapes
+    # (tools/ab_msda_locw.py; packed won the *full*-grad A/B only because
+    # of its cheaper value scatter, which msda_transpose has replaced).
     _, vjp = jax.vjp(
-        lambda loc, w: msda_packed(value, spatial_shapes, loc, w),
+        lambda loc, w: _msda_primal(value, spatial_shapes, loc, w),
         sampling_locations, attention_weights,
     )
     g_loc, g_w = vjp(g)

@@ -34,6 +34,7 @@ def msda_value_grad_einsum(
     g: jnp.ndarray,
     out_dtype,
     chunk: int = 8192,
+    precision: str = 'high',
 ) -> jnp.ndarray:
     """Cotangent g (B, Q, H·D) → grad wrt value (B, L_total, H, D).
 
@@ -86,7 +87,7 @@ def msda_value_grad_einsum(
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(yk[..., None] - rows))  # (B,H,C,Hl)
             t = (wx[..., None] * (ak[..., None] * gk)[..., None, :]).astype(out_dtype)
             acc = acc + jnp.einsum(
-                'bhsy,bhswd->bhywd', wy.astype(out_dtype), t, precision='high'
+                'bhsy,bhswd->bhywd', wy.astype(out_dtype), t, precision=precision
             )
             return acc, None
 
