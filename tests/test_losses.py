@@ -289,11 +289,14 @@ def test_einsum_sampler_matches_gather(rng):
     coords = coords.at[:, 3].set(jnp.asarray([0.5, 1.2]))         # outside the grid
 
     ref = _sample_points_batch(masks, coords)
-    # p=40 not divisible by 4 → exercises the single-chunk fallback too
+    # p=40 divides by 4 (default) and 5 → genuine multi-chunk paths;
+    # n_chunks=3 (40 % 3 != 0) exercises the single-chunk fallback branch
     out = _sample_points_einsum(masks, coords)
     out_chunked = _sample_points_einsum(masks, coords, n_chunks=5)
+    out_fallback = _sample_points_einsum(masks, coords, n_chunks=3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_chunked), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_fallback), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
 def test_einsum_sampler_grad_matches_gather(rng):

@@ -474,6 +474,13 @@ def total_loss(
     (scalar total, weighted per-key dict) — matching HF's substring-matched
     weight map + sum-of-dict total (HF:2275-2283). ``sample_valid`` (B,)
     excludes batch-padding repeats from every term.
+
+    INVARIANT: ``target_masks`` must be binary {0,1} (any dtype). The shared
+    target patch table is built in bf16, which is exact for {0,1} but would
+    silently quantize soft/antialiased masks — and would then disagree with a
+    direct ``mask2former_loss`` call (``tgt_patch=None`` → f32). Every
+    in-repo producer satisfies this (rasterized polygons, instance-id
+    equality masks, nearest-resampled augmentation).
     """
     # one target patch table for all layers (targets don't vary per layer;
     # only the random points do). Binary {0,1} masks are exact in bf16 —

@@ -39,9 +39,7 @@ def maybe_initialize_distributed() -> bool:
     Must run before any JAX backend use. Returns True when this process is
     part of a multi-process cluster. Idempotent.
     """
-    from jax._src import distributed as _dist
-
-    if _dist.global_state.client is not None:  # already initialized
+    if _distributed_client_active():  # already initialized
         return jax.process_count() > 1
     coordinator = os.environ.get('WISTPU_COORDINATOR')
     if coordinator:
@@ -55,6 +53,21 @@ def maybe_initialize_distributed() -> bool:
         jax.distributed.initialize()
         return jax.process_count() > 1
     return False
+
+
+def _distributed_client_active() -> bool:
+    """Whether ``jax.distributed.initialize`` already ran in this process.
+    Prefers the public ``is_initialized`` (jax ≥0.4.34); the private
+    global-state probe is a guarded fallback for older versions."""
+    is_init = getattr(jax.distributed, 'is_initialized', None)
+    if callable(is_init):
+        return bool(is_init())
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
 
 
 def create_mesh(data_parallel: int | None = None,
