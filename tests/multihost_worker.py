@@ -25,7 +25,9 @@ import sys
 
 def build_dataset(n_samples: int = 10, h: int = 64, w: int = 64):
     """Deterministic synthetic samples in the preprocessed-cache schema
-    (identical on every process — seeded host RNG)."""
+    (identical on every process — seeded host RNG). ``original_map`` /
+    ``id_to_semantic`` carry the real instances so the metrics path
+    (GT rebuild in engine/metrics.py) evaluates meaningfully."""
     import numpy as np
 
     rng = np.random.default_rng(1234)
@@ -33,16 +35,21 @@ def build_dataset(n_samples: int = 10, h: int = 64, w: int = 64):
     for i in range(n_samples):
         n_inst = int(rng.integers(1, 4))
         masks = np.zeros((n_inst, h, w), np.float32)
+        original_map = np.full((h, w), 255, np.int32)  # 255 = ignore/background
+        id_to_semantic = {}
+        classes = rng.integers(0, 3, size=(n_inst,)).astype(np.int64)
         for j in range(n_inst):
             y, x = rng.integers(0, h - 16), rng.integers(0, w - 16)
             masks[j, y : y + 16, x : x + 16] = 1.0
+            original_map[y : y + 16, x : x + 16] = j + 1
+            id_to_semantic[j + 1] = int(classes[j])
         data.append({
             'pixel_values': rng.standard_normal((3, h, w)).astype(np.float32),
             'mask_labels': masks,
-            'class_labels': rng.integers(0, 3, size=(n_inst,)).astype(np.int64),
+            'class_labels': classes,
             'target_size': (h, w),
-            'original_map': np.zeros((h, w), np.int32),
-            'id_to_semantic': {1: 1},
+            'original_map': original_map,
+            'id_to_semantic': id_to_semantic,
             'file_name': f'sample_{i:03d}.png',
         })
     return data
@@ -78,10 +85,17 @@ def main():
     assert jax.process_count() == cfg['nproc'], (jax.process_count(), cfg['nproc'])
     assert jax.device_count() == 8, jax.device_count()
 
+    from weed_instance_segmentation_tpu.engine import checkpoint as ckpt
+
     model_cfg = Mask2FormerConfig.tiny_test(num_labels=3)
     model = Mask2Former(model_cfg)
     params = init_params(model, model_cfg, image_hw=(64, 64))
     state, tx = create_train_state(params, 1e-4, gradient_accumulation=2)
+    start_epoch = 0
+    if cfg.get('resume_from'):
+        # the real resume path: keyed opt-state restore + epoch carry-over
+        state, meta = ckpt.load_train_checkpoint(cfg['resume_from'], state)
+        start_epoch = int(meta['epoch'])
     mp = int(cfg.get('mp', 1))
     mesh = create_mesh(None, mp)
     if mp > 1:
@@ -97,10 +111,13 @@ def main():
         build_dataset(), batch_size, shuffle=True, seed=7, prefetch=0,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
+    # resumed runs continue the shuffle sequence (engine/train.py does the
+    # same via set_epoch after restore)
+    loader.set_epoch(start_epoch)
 
     rng = jax.random.PRNGKey(42)
     losses = []
-    for _ in range(int(cfg.get('epochs', 2))):
+    for _ in range(start_epoch, int(cfg.get('epochs', 2))):
         for batch in _device_batches(loader, (64, 64), 4, mesh, batch_size):
             state, loss = train_step(state, batch, rng)
             losses.append(float(loss))
@@ -118,9 +135,34 @@ def main():
         sum(np.abs(leaf).sum() for leaf in jax.tree_util.tree_leaves(fetched.params))
     )
 
+    if cfg.get('save_to') and jax.process_index() == 0:
+        ckpt.save_train_checkpoint(
+            cfg['save_to'], fetched, extra={'epoch': int(cfg.get('epochs', 2))}
+        )
+
+    result = {'losses': losses, 'param_sum': param_sum}
+
+    if cfg.get('test_metrics'):
+        # the distributed test phase: all hosts run the sharded forwards,
+        # logits allgathered, host 0 does postprocess + metric bookkeeping
+        from weed_instance_segmentation_tpu.datasets.dataset_utils import collate_fn
+        from weed_instance_segmentation_tpu.engine.metrics import test_with_metrics
+        from weed_instance_segmentation_tpu.engine.steps import make_forward_fn
+
+        test_loader = DataLoader(
+            build_dataset(), 4, shuffle=False, collate=collate_fn, prefetch=0,
+        )
+        metrics = test_with_metrics(
+            make_forward_fn(model), state.params, test_loader, mesh=mesh,
+        )
+        if jax.process_index() == 0:
+            result['test_map'] = float(np.asarray(metrics['map']))
+            result['test_map_50'] = float(np.asarray(metrics['map_50']))
+            result['test_mar_100'] = float(np.asarray(metrics['mar_100']))
+
     if jax.process_index() == 0:
         with open(cfg['out'], 'w') as f:
-            json.dump({'losses': losses, 'param_sum': param_sum}, f)
+            json.dump(result, f)
     print(f"worker {cfg['pid']}/{cfg['nproc']} done: {losses}", flush=True)
 
 

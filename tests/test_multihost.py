@@ -36,11 +36,12 @@ def _worker_env() -> dict:
     return env
 
 
-def _run_cluster(nproc: int, devices: int, out: str, port: int, mp: int = 1):
+def _run_cluster(nproc: int, devices: int, out: str, port: int, mp: int = 1,
+                 **extra):
     procs = []
     for pid in range(nproc):
         cfg = {'pid': pid, 'nproc': nproc, 'port': port,
-               'devices': devices, 'out': out, 'mp': mp}
+               'devices': devices, 'out': out, 'mp': mp, **extra}
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, json.dumps(cfg)],
             env=_worker_env(), cwd=REPO,
@@ -97,3 +98,56 @@ def test_two_host_model_parallel_matches_single_process(tmp_path):
     assert len(single['losses']) == len(pair['losses']) == 4
     np.testing.assert_allclose(single['losses'], pair['losses'], rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(single['param_sum'], pair['param_sum'], rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_two_host_test_phase_matches_single_process(tmp_path):
+    """The distributed test phase (engine/metrics.py multi-host path: every
+    host runs the sharded forward, final-layer logits allgathered, host 0
+    does postprocess + mAP) must produce the same metrics as the
+    single-process run — through the same trained model (same losses)."""
+    single_out = str(tmp_path / 'single_tm.json')
+    pair_out = str(tmp_path / 'pair_tm.json')
+
+    _run_cluster(1, 8, single_out, _free_port(), test_metrics=True, epochs=1)
+    _run_cluster(2, 4, pair_out, _free_port(), test_metrics=True, epochs=1)
+
+    with open(single_out) as f:
+        single = json.load(f)
+    with open(pair_out) as f:
+        pair = json.load(f)
+
+    np.testing.assert_allclose(single['losses'], pair['losses'], rtol=2e-4, atol=1e-5)
+    for key in ('test_map', 'test_map_50', 'test_mar_100'):
+        assert key in single and key in pair
+        # forward logits agree to float tolerance; mAP is piecewise-constant
+        # in them, so topology must not move it beyond threshold jitter
+        np.testing.assert_allclose(single[key], pair[key], atol=2e-3, err_msg=key)
+
+
+@pytest.mark.slow
+def test_resume_as_two_hosts_matches_uninterrupted(tmp_path):
+    """Kill-after-epoch-1 resume, with a TOPOLOGY change: epoch 1 runs as a
+    single 8-device process and checkpoints; the run resumes as 2 simulated
+    hosts × 4 devices for epoch 2. Its epoch-2 losses must match the
+    uninterrupted single-process 2-epoch run step for step (same restored
+    optimizer state, same shuffle sequence via set_epoch)."""
+    full_out = str(tmp_path / 'full.json')
+    phase1_out = str(tmp_path / 'phase1.json')
+    phase2_out = str(tmp_path / 'phase2.json')
+    ckpt_dir = str(tmp_path / 'ckpt')
+
+    _run_cluster(1, 8, full_out, _free_port(), epochs=2)
+    _run_cluster(1, 8, phase1_out, _free_port(), epochs=1, save_to=ckpt_dir)
+    _run_cluster(2, 4, phase2_out, _free_port(), epochs=2, resume_from=ckpt_dir)
+
+    with open(full_out) as f:
+        full = json.load(f)['losses']
+    with open(phase1_out) as f:
+        phase1 = json.load(f)['losses']
+    with open(phase2_out) as f:
+        phase2 = json.load(f)['losses']
+
+    assert len(full) == 4 and len(phase1) == 2 and len(phase2) == 2
+    np.testing.assert_allclose(full[:2], phase1, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(full[2:], phase2, rtol=2e-4, atol=1e-5)

@@ -63,6 +63,13 @@ class DataLoader:
             )
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the shuffle sequence with a resumed run: the next __iter__
+        draws epoch ``epoch``'s deterministic order (seed + epoch), so a
+        process that restarts at epoch k sees the same batches the
+        uninterrupted run would have."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:

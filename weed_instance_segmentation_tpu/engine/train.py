@@ -46,8 +46,8 @@ from weed_instance_segmentation_tpu.engine.steps import (
 )
 from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
 from weed_instance_segmentation_tpu.parallel.mesh import (
-    create_mesh, fetch_tree, maybe_initialize_distributed, shard_batch,
-    shard_tree,
+    create_mesh, fetch_tree, maybe_initialize_distributed, replicate_tree,
+    shard_batch, shard_tree,
 )
 
 SPECIFIC_OUTPUT_DIR = os.path.join(config.MODELS_OUTPUT_DIR, 'mask2former_fine_tuned/')
@@ -285,6 +285,10 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 f'Resumed from {resume_dir}: epoch {start_epoch}, '
                 f'micro-step {int(state.step)}, best val loss {best_val_loss:.4f}'
             )
+            # continue the shuffle sequence where the interrupted run left
+            # off: epoch k draws the same batch order whether or not the
+            # process restarted (the loader seeds per epoch)
+            train_loader.set_epoch(start_epoch)
         # Pre-place the state with its steady mesh sharding: replicated on
         # a 1-D mesh, weight-sharded over 'model' on a 2-D one. Multi-host:
         # multi-controller jit needs every input as a global array
@@ -415,25 +419,32 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
             )
 
         # --- test phase on the best model (reference train.py:238-258) ----
-        # Host-side per-image post-processing → host 0 runs it alone on its
-        # local devices (plain jit, no mesh); the other hosts wait at the
-        # final barrier so the coordination service stays up.
+        # All hosts run the forwards together over the full mesh (each host
+        # reads the full batch from the shared fs, logits are all-gathered);
+        # only host 0 does the per-image post-process + metric bookkeeping
+        # (engine/metrics.py) and writes the result.
         start_time = datetime.now()
+        best_model_path = os.path.join(output_dir, 'best_model')
+        if multihost:
+            # best_model/ must be fully written by host 0 before anyone loads
+            multihost_utils.sync_global_devices('wistpu_pre_test')
         if is_main:
             print('\n--- Starting Test Phase (Best Model) ---')
-            best_model_path = os.path.join(output_dir, 'best_model')
-            if os.path.exists(best_model_path):
+        if os.path.exists(best_model_path):
+            if is_main:
                 print(f'\tLoading best model from {best_model_path}')
-                best_cfg, best_params = ckpt.load_pretrained(best_model_path)
-                forward_fn = make_forward_fn(Mask2Former(best_cfg))
-                test_results = test_with_metrics(
-                    forward_fn, best_params, test_loader,
-                    mesh=None if multihost else mesh,
-                )
+            best_cfg, best_params = ckpt.load_pretrained(best_model_path)
+            forward_fn = make_forward_fn(Mask2Former(best_cfg))
+            if multihost:
+                best_params = replicate_tree(best_params, mesh)
+            test_results = test_with_metrics(
+                forward_fn, best_params, test_loader, mesh=mesh,
+            )
+            if is_main:
                 print_metrics_evaluation(test_results, model_name='Best Model')
                 metadata['test_metrics'] = prepare_metrics_for_json(test_results)
-            else:
-                print('\tBest model not found, skipping test phase.')
+        elif is_main:
+            print('\tBest model not found, skipping test phase.')
 
         end_time = datetime.now()
         elapsed = format_duration(start_time, end_time)
