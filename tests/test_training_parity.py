@@ -1,0 +1,51 @@
+"""Statistical training-trajectory parity vs the torch reference stack
+(VERDICT r2 #2, SURVEY §7.4.3, BASELINE config 3).
+
+CPU-scale twin of ``tools/parity_trajectory.py``: identical init (via
+models/convert), identical data (same .npz cache samples), identical AdamW
+hyperparameters; compare the two stacks' loss TRAJECTORIES and the step-0
+per-layer matcher assignments on fixed points. Per-step losses carry
+point-sampling noise (each stack draws its own points), so the trajectory
+check uses a moving average and a relative band.
+
+Torch side: the exact stack the reference drives —
+HF Mask2FormerForUniversalSegmentation + torch.optim.AdamW
+(/root/reference/models/mask2former/train.py:196-206).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytest.importorskip('transformers')
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+
+
+@pytest.mark.slow
+def test_loss_trajectory_parity(tmp_path):
+    import parity_trajectory as pt
+
+    hf, model, cfg, params = pt.build_pair(points=1024)
+    samples = pt.load_samples(str(tmp_path), hw=96, n_images=4)
+
+    # step-0: identical params + fixed points → identical per-layer
+    # Hungarian optima (tie-safe: equal optimal cost)
+    matcher = pt.step0_matcher_agreement(hf, model, cfg, params, samples, batch=2)
+    assert matcher['all_agree'], matcher
+
+    steps = int(os.environ.get('PT_TEST_STEPS', '14'))
+    ours, _ = pt.ours_trajectory(model, cfg, params, samples, steps, 1e-4, 2)
+    torch_losses = pt.torch_trajectory(hf, samples, steps, 1e-4, 2)
+
+    s_ours, s_torch = pt.smooth(ours, 5), pt.smooth(torch_losses, 5)
+    rel = np.abs(s_ours - s_torch) / np.maximum(np.abs(s_torch), 1e-9)
+    band = float(os.environ.get('PT_TEST_BAND', '0.15'))
+    assert float(rel.max()) <= band, {
+        'max_rel': float(rel.max()), 'ours': ours, 'torch': torch_losses,
+    }
+    # both descend
+    assert s_ours[-1] < s_ours[0]
+    assert s_torch[-1] < s_torch[0]
