@@ -42,7 +42,10 @@ def test_loss_trajectory_parity(tmp_path):
 
     s_ours, s_torch = pt.smooth(ours, 5), pt.smooth(torch_losses, 5)
     rel = np.abs(s_ours - s_torch) / np.maximum(np.abs(s_torch), 1e-9)
-    band = float(os.environ.get('PT_TEST_BAND', '0.15'))
+    # measured on the full 50-step study: max smoothed rel diff 0.0061
+    # (tools/records/parity_trajectory.json) — 0.08 leaves 13x headroom
+    # for the shorter window while still catching real dynamics drift
+    band = float(os.environ.get('PT_TEST_BAND', '0.08'))
     assert float(rel.max()) <= band, {
         'max_rel': float(rel.max()), 'ours': ours, 'torch': torch_losses,
     }
