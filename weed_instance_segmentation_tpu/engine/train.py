@@ -345,6 +345,20 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 if profile_dir and global_step == 8:
                     jax.profiler.stop_trace()
                     print(f'\tProfiler trace written to {profile_dir}')
+                    # true device-busy fraction over the traced window,
+                    # recorded beside the host-derived duty cycle (which
+                    # counts async dispatch as device time)
+                    try:
+                        from weed_instance_segmentation_tpu.engine.trace import (
+                            device_busy_fraction,
+                        )
+
+                        busy = device_busy_fraction(profile_dir)
+                        if busy is not None:
+                            metadata['device_duty_profiled'] = round(busy, 4)
+                            print(f'\tProfiled device-busy fraction: {100 * busy:.1f}%')
+                    except Exception as e:
+                        print(f'\tTrace parse failed (non-fatal): {e}')
                     profile_dir = None
                 t_mark = _time.perf_counter()
                 device_time += t_mark - t_have_batch
