@@ -56,6 +56,40 @@ def test_export_roundtrip_matches_live_pipeline(tmp_path, rng):
     assert served['masks'].shape[0] == batch and served['masks'].shape[2:] == out_hw
 
 
+def test_micro_batched_serving_matches_full(rng):
+    """micro_batch caps activation liveness by mapping over sub-batches
+    inside the one program; results must equal the single-dispatch path
+    exactly (same ops per image, just scheduled in chunks)."""
+    import jax
+
+    _, model, params = _tiny_model()
+    batch, in_hw, out_hw = 4, (96, 96), (64, 64)
+    raw = jnp.asarray(rng.integers(0, 256, (batch, *in_hw, 3), dtype=np.uint8))
+
+    full = jax.jit(make_serving_fn(model, params, out_hw=out_hw, threshold=0.1))(raw)
+    micro = jax.jit(make_serving_fn(
+        model, params, out_hw=out_hw, threshold=0.1, micro_batch=2,
+    ))(raw)
+
+    assert set(full) == set(micro)
+    for key in full:
+        np.testing.assert_allclose(
+            np.asarray(micro[key], np.float32),
+            np.asarray(full[key], np.float32),
+            atol=1e-5, err_msg=key,
+        )
+    # a request batch ≤ micro_batch short-circuits to the plain path
+    small = jax.jit(make_serving_fn(
+        model, params, out_hw=out_hw, threshold=0.1, micro_batch=4,
+    ))(raw)
+    for key in full:
+        np.testing.assert_allclose(
+            np.asarray(small[key], np.float32),
+            np.asarray(full[key], np.float32),
+            atol=1e-5, err_msg=key,
+        )
+
+
 def test_export_cli_smoke(tmp_path, monkeypatch):
     """The env-driven entry point writes artifact + manifest."""
     from weed_instance_segmentation_tpu.engine import export as export_mod

@@ -51,12 +51,20 @@ MANIFEST_NAME = 'manifest.json'
 
 def make_serving_fn(model, params, *, out_hw: tuple[int, int],
                     target_size: tuple[int, int] | None = None,
-                    threshold: float = 0.5) -> Callable:
+                    threshold: float = 0.5,
+                    micro_batch: int = 0) -> Callable:
     """(raw uint8 (B, H_in, W_in, 3)) → InstanceSegmentationResult arrays.
 
     ``out_hw`` is the model input resolution after the fused preprocess;
     ``target_size`` the resolution of the returned segmentation maps
     (defaults to ``out_hw``).
+
+    ``micro_batch`` > 0 processes the request in sub-batches of that size
+    via ``lax.map`` inside the one compiled program: activation liveness is
+    capped at the sub-batch (Swin-L 800² throughput peaks at b4 on v5e-1 —
+    larger single-dispatch batches spill; the batch-size knee in
+    tools/sweep_infer_batch.py), while the serving surface still accepts
+    the full request batch. The request batch must divide evenly.
     """
     from weed_instance_segmentation_tpu.processing.fused import fused_preprocess
     from weed_instance_segmentation_tpu.processing.postprocess import (
@@ -65,14 +73,28 @@ def make_serving_fn(model, params, *, out_hw: tuple[int, int],
 
     tgt = tuple(target_size or out_hw)
 
-    def serve(raw):
+    def one(raw):
         pixel_values, _ = fused_preprocess(raw, out_hw, out_hw)
         out = model.apply({'params': params}, pixel_values, deterministic=True)
         return post_process_instance_arrays(
             out.class_queries_logits.astype(jnp.float32),
             out.masks_queries_logits.astype(jnp.float32),
             tgt, threshold,
-        )._asdict()
+        )
+
+    def serve(raw):
+        b = raw.shape[0]
+        if micro_batch and b > micro_batch:
+            if b % micro_batch:
+                raise ValueError(
+                    f'serving batch {b} not divisible by micro_batch {micro_batch}'
+                )
+            chunks = raw.reshape(b // micro_batch, micro_batch, *raw.shape[1:])
+            res = jax.lax.map(one, chunks)
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape(b, *x.shape[2:]), res
+            )._asdict()
+        return one(raw)._asdict()
 
     return serve
 
