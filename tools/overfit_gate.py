@@ -190,6 +190,15 @@ def run_gate(workdir: str, arch: str = ARCH, steps: int = STEPS, lr: float = LR,
                 curve.append((step, round(recent, 4)))
                 print(f'step {step}/{steps}  loss(avg last {log_every}): {recent:.4f}',
                       flush=True)
+                # partial record each interval: a tunnel/worker crash must
+                # not lose the curve gathered so far
+                partial = os.environ.get('OG_OUT')
+                if partial:
+                    try:
+                        with open(partial + '.partial', 'w') as f:
+                            json.dump({'step': step, 'loss_curve': curve}, f)
+                    except OSError:
+                        pass
             if step >= steps:
                 break
 
