@@ -47,3 +47,26 @@ def test_large_constant_rows():
     np.testing.assert_allclose(
         cost[np.arange(8), col4row].sum(), cost[rows, cols].sum(), rtol=1e-5
     )
+
+
+@pytest.mark.parametrize('shape', [(3, 100), (5, 5), (7, 12), (1, 4), (15, 40)])
+def test_static_loops_match_dynamic(shape):
+    """The fori_loop (static trip count) formulation must produce the same
+    optimal cost as the while_loop one — including the overfit-gate shape
+    (3, 100) where the dynamic form hit a backend runtime fault."""
+    from weed_instance_segmentation_tpu.ops.lap import _linear_sum_assignment_jv
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        cost = rng.standard_normal(shape).astype(np.float32) * 10
+        rows, cols = scipy_lsa(cost)
+        want = cost[rows, cols].sum()
+        got_static = np.asarray(
+            jax.jit(lambda c: _linear_sum_assignment_jv(c, static_loops=True))(
+                jnp.asarray(cost)
+            )
+        )
+        assert len(set(got_static.tolist())) == shape[0]
+        np.testing.assert_allclose(
+            cost[np.arange(shape[0]), got_static].sum(), want, rtol=1e-5
+        )

@@ -28,11 +28,26 @@ INF = 1e30
 def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
     """Minimal-cost assignment of R rows to C columns, R <= C.
 
+    Dispatches between two numerically identical JV formulations:
+    data-dependent ``while_loop`` early exits (default) or static
+    ``fori_loop`` trip counts (``WISTPU_LAP=static``). The static form
+    exists because data-dependent loops are the one construct here whose
+    runtime is input-dependent — on a backend whose watchdog or loop
+    lowering misbehaves, a fixed trip count is the safe fallback; it costs
+    at most the worst case the dynamic form already has to bound.
+
     Args:
         cost: (R, C) float32.
     Returns:
         col4row: (R,) int32 — the column assigned to each row.
     """
+    import os
+
+    static = os.environ.get('WISTPU_LAP', 'jv') == 'static'
+    return _linear_sum_assignment_jv(cost, static_loops=static)
+
+
+def _linear_sum_assignment_jv(cost: jnp.ndarray, static_loops: bool = False) -> jnp.ndarray:
     r, c = cost.shape
     if r > c:
         raise ValueError('linear_sum_assignment requires rows <= cols; transpose first')
@@ -72,9 +87,26 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
             jnp.int32(cur_row), jnp.float32(0.0), spc, path, visited_cols,
             jnp.int32(-1), u[cur_row],
         )
-        _, min_val, spc, path, visited_cols, sink, _ = jax.lax.while_loop(
-            dijkstra_cond, dijkstra_body, init
-        )
+        if static_loops:
+            # sink is reached after at most cur_row+1 <= r <= c dequeues
+            # (each dequeue visits a NEW column; only matched columns — at
+            # most cur_row of them — can defer the exit). Iterations after
+            # the sink freeze every carried value, so the result is
+            # identical to the early-exit form.
+            def dijkstra_static(_, ds):
+                done = ds[5] >= 0
+                nds = dijkstra_body(ds)
+                return jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(done, old, new), nds, ds
+                )
+
+            _, min_val, spc, path, visited_cols, sink, _ = jax.lax.fori_loop(
+                0, c, dijkstra_static, init
+            )
+        else:
+            _, min_val, spc, path, visited_cols, sink, _ = jax.lax.while_loop(
+                dijkstra_cond, dijkstra_body, init
+            )
 
         # --- dual updates ---------------------------------------------------
         u = u.at[cur_row].add(min_val)
@@ -109,9 +141,24 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
             done = i == cur_row
             return prev_j, col4row, row4col, done
 
-        _, col4row, row4col, _ = jax.lax.while_loop(
-            aug_cond, aug_body, (sink, col4row, row4col, jnp.bool_(False))
-        )
+        aug_init = (sink, col4row, row4col, jnp.bool_(False))
+        if static_loops:
+            # the alternating path visits each row at most once → <= r+1
+            # column assignments; frozen after done, as above
+            def aug_static(_, astate):
+                done = astate[3]
+                nas = aug_body(astate)
+                return jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(done, old, new), nas, astate
+                )
+
+            _, col4row, row4col, _ = jax.lax.fori_loop(
+                0, r + 1, aug_static, aug_init
+            )
+        else:
+            _, col4row, row4col, _ = jax.lax.while_loop(
+                aug_cond, aug_body, aug_init
+            )
         return u, v, col4row, row4col
 
     u = jnp.zeros((r,))
