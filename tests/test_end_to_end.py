@@ -118,6 +118,38 @@ def test_train_then_eval_entry_points(workdir):
     assert 'Worst Predictions' in out
 
 
+def test_standalone_test_dynamic_split_fallback(workdir):
+    """engine.test on a dynamic-split dataset (crop_weed): the reference
+    crashes on the missing TEST_IMG_DIR attribute (test.py:29-35); we fall
+    back to the preprocessed Test cache — or, when the split assigns the
+    test set ratio 0, explain instead of raising (documented deviation,
+    SURVEY.md §2.5)."""
+    env = _env(workdir)
+    env['WISTPU_DATASET_LIST'] = 'crop_weed'
+
+    # a checkpoint to evaluate: reuse the main e2e run's if present,
+    # otherwise train one epoch here (warm compile cache keeps this fast)
+    runs = sorted(glob.glob(str(workdir / 'out/models/mask2former_fine_tuned/*')))
+    if not runs:
+        _run('weed_instance_segmentation_tpu.engine.train', env)
+        runs = sorted(glob.glob(str(workdir / 'out/models/mask2former_fine_tuned/*')))
+    env['WISTPU_MODEL_ID'] = os.path.relpath(
+        os.path.join(runs[-1], 'best_model'), str(workdir / 'out/models'))
+
+    # default crop_weed split has test ratio 0 → no cache: clean message
+    out = _run('weed_instance_segmentation_tpu.engine.test', env)
+    assert 'no preprocessed cache' in out
+
+    # nonzero test ratio: preprocess materializes Processed/Test, and the
+    # standalone driver evaluates it through the real metrics path
+    env['WISTPU_CROP_WEED_SPLIT'] = '0.5,0.25,0.25'
+    env['WISTPU_FORCE_PREPROCESSING'] = '1'
+    _run('weed_instance_segmentation_tpu.datasets.preprocess', env)
+    assert glob.glob(str(workdir / 'cw/Processed/Test/*.npz'))
+    out = _run('weed_instance_segmentation_tpu.engine.test', env)
+    assert 'mAP' in out
+
+
 def test_resume_continues_training(workdir):
     """Kill after epoch 1, resume with WISTPU_RESUME, and the metadata of
     the resumed run shows a continuous 2-epoch history."""

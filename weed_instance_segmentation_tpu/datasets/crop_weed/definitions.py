@@ -14,7 +14,13 @@ PROCESSED_DIR = os.path.join(DATASET_ROOT, 'Processed/')
 
 # How to split the data when no predefined split directories exist. A split
 # of 0 means that set is not created (reference: crop_weed/definitions.py:17-20).
-TRAIN_VAL_TEST_SPLIT = [0.8, 0.2, 0]
+# Env-overridable like ROOT/FORMAT ("0.6,0.2,0.2") so runs that need a test
+# split (engine/test.py's cache fallback) can request one without editing
+# this module.
+TRAIN_VAL_TEST_SPLIT = [
+    float(v)
+    for v in os.environ.get('WISTPU_CROP_WEED_SPLIT', '0.8,0.2,0').split(',')
+]
 if abs(sum(TRAIN_VAL_TEST_SPLIT) - 1.0) > 1e-6:
     raise ValueError(
         f'TRAIN_VAL_TEST_SPLIT must sum to 1.0, but got {sum(TRAIN_VAL_TEST_SPLIT)}'

@@ -39,12 +39,30 @@ def test_model(model_id: str) -> dict | None:
 
     WeedDataset, ds_config = get_dataset_and_config(config.DATASET_LIST[0])
     print('Loading Test Dataset...')
-    test_ds = WeedDataset(
-        image_folder_path=ds_config.TEST_IMG_DIR,
-        annotation_path=ds_config.TEST_ANNOTATIONS,
-        processor=processor,
-        label2id=ds_config.LABEL2ID,
-    )
+    if hasattr(ds_config, 'TEST_IMG_DIR'):
+        test_ds = WeedDataset(
+            image_folder_path=ds_config.TEST_IMG_DIR,
+            annotation_path=ds_config.TEST_ANNOTATIONS,
+            processor=processor,
+            label2id=ds_config.LABEL2ID,
+        )
+    else:
+        # Dynamic-split datasets (TRAIN_VAL_TEST_SPLIT, e.g. crop_weed) have
+        # no predefined test dirs; their test samples exist only in the
+        # preprocessed cache written by datasets/preprocess.py. The reference
+        # crashes here (test.py:29-35 reads TEST_IMG_DIR unconditionally, and
+        # crop_weed/definitions.py has no such attribute) — documented
+        # deviation per SURVEY.md §2.5: fall back to the cache.
+        from weed_instance_segmentation_tpu.datasets.dataset_utils import (
+            PreprocessedDataset,
+        )
+
+        test_dir = os.path.join(ds_config.PROCESSED_DIR, 'Test')
+        if not os.path.isdir(test_dir):
+            print(f'No predefined test split and no preprocessed cache at '
+                  f'{test_dir} — run datasets.preprocess first')
+            return None
+        test_ds = PreprocessedDataset(test_dir)
     loader = DataLoader(test_ds, batch_size=config.BATCH_SIZE, shuffle=False,
                         collate=collate_fn)
 
