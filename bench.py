@@ -346,6 +346,41 @@ def measure_torch_train_baseline(iters: int = 2) -> float:
     return TRAIN_BATCH * iters / dt
 
 
+def _wait_for_backend() -> bool:
+    """Poll until the JAX backend accepts clients (subprocess probe, so a
+    failed init can't poison this process's backend cache).
+
+    The tunneled TPU backend goes fully unavailable for stretches (client
+    init fails 'Unavailable', or a trivial program never returns); a bench
+    run launched into such a window would fail outright. Wait up to
+    BENCH_HEALTH_WAIT seconds (default 900) for a 128² matmul to succeed.
+    """
+    import subprocess
+
+    deadline = time.time() + float(os.environ.get('BENCH_HEALTH_WAIT', '900'))
+    # import the package first: it re-asserts JAX_PLATFORMS against the
+    # plugin's force-override, so a CPU-directed bench probes CPU
+    probe = ('import weed_instance_segmentation_tpu, jax, jax.numpy as jnp; '
+             'print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))')
+    env = dict(os.environ)
+    env['PYTHONPATH'] = (os.path.dirname(os.path.abspath(__file__))
+                         + os.pathsep + env.get('PYTHONPATH', ''))
+    while True:
+        try:
+            r = subprocess.run([sys.executable, '-c', probe],
+                               capture_output=True, timeout=300, env=env)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(json.dumps({'error': 'backend unhealthy past BENCH_HEALTH_WAIT'}),
+                  file=sys.stderr)
+            return False
+        print('backend unhealthy; retrying...', file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main():
     if '--measure-baseline' in sys.argv:
         ips = measure_torch_baseline()
@@ -362,6 +397,8 @@ def main():
         print(json.dumps({k: v for k, v in baseline.items() if 'images_per_sec' in k}))
         return
 
+    if MODE != 'train':  # the train subprocess inherits a vetted backend
+        _wait_for_backend()
     result = {}
     if MODE in ('all', 'infer'):
         value = measure_infer()
