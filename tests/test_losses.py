@@ -314,3 +314,43 @@ def test_einsum_sampler_grad_matches_gather(rng):
     g_ref = jax.grad(lambda m: (_sample_points_batch(m, coords) * cot).sum())(masks)
     g_out = jax.grad(lambda m: (_sample_points_einsum(m, coords) * cot).sum())(masks)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_uncertainty_varsort_matches_topk(rng):
+    """The gather-free variadic-sort selection (WISTPU_UNCERTAIN=varsort,
+    the default — it works around a TPU runtime fault in the sort→gather
+    composition at overfit-gate shapes, see
+    tools/records/tpu_backend_incident_2026-08-18.md) must be bit-identical
+    to the original lax.top_k + take_along_axis form, ties included:
+    ascending stable sort of |logit| == descending top_k of −|logit| with
+    lower-index tie order (HF:675-719 uses torch.topk, same order)."""
+    from weed_instance_segmentation_tpu.losses.criterion import (
+        _sample_points_batch,
+    )
+
+    key = jax.random.PRNGKey(3)
+    num_points, oversample, importance = 256, 3.0, 0.75
+    num_sampled = int(num_points * oversample)
+    num_uncertain = int(importance * num_points)
+
+    for tie_quantize in (False, True):
+        pred = jnp.asarray(rng.standard_normal((6, 32, 32)), jnp.float32)
+        if tie_quantize:  # force many |logit| collisions
+            pred = jnp.round(pred * 2) / 2
+        coords = jax.random.uniform(jax.random.split(key)[0],
+                                    (6, num_sampled, 2))
+        logits = _sample_points_batch(pred, coords)
+
+        _, idx = jax.lax.top_k(-jnp.abs(logits), num_uncertain)
+        via_topk = jnp.take_along_axis(coords, idx[..., None], axis=1)
+
+        _, xs, ys = jax.lax.sort(
+            (jnp.abs(logits), coords[..., 0], coords[..., 1]),
+            dimension=-1, is_stable=True, num_keys=1,
+        )
+        via_varsort = jnp.stack(
+            [xs[:, :num_uncertain], ys[:, :num_uncertain]], axis=-1
+        )
+        assert bool((via_topk == via_varsort).all()), (
+            f'varsort != topk (tie_quantize={tie_quantize})'
+        )

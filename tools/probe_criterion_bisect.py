@@ -84,6 +84,157 @@ def main() -> None:
 
         fn = jax.jit(unc)
         args = (pred, key)
+    elif PART == 'sample':
+        # _uncertainty_points sub-part 1: the flat-table gather sampler at
+        # the oversampled point count (N*B masks × 37632 points from LHW²)
+        pred = ml[:, :N].reshape(B * N, LHW, LHW)
+        coords = jax.random.uniform(key, (B * N, int(12544 * 3.0), 2))
+
+        def samp(pred, coords):
+            return criterion._sample_points_batch(pred, coords).sum()
+
+        fn = jax.jit(samp)
+        args = (pred, coords)
+    elif PART == 'topk':
+        # _uncertainty_points sub-part 2: top_k over the oversampled logits
+        # + take_along_axis of the picked coords (no mask gather involved)
+        ns = int(12544 * 3.0)
+        nu = int(0.75 * 12544)
+        logits = jnp.asarray(rng.standard_normal((B * N, ns)), jnp.float32)
+        coords = jax.random.uniform(key, (B * N, ns, 2))
+
+        def tk(logits, coords):
+            _, idx = jax.lax.top_k(-jnp.abs(logits), nu)
+            picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+            return picked.sum()
+
+        fn = jax.jit(tk)
+        args = (logits, coords)
+    elif PART == 'topk_only':
+        # top_k alone, no coord gather
+        ns = int(12544 * 3.0)
+        nu = int(0.75 * 12544)
+        logits = jnp.asarray(rng.standard_normal((B * N, ns)), jnp.float32)
+
+        def tko(logits):
+            v, idx = jax.lax.top_k(-jnp.abs(logits), nu)
+            return v.sum() + idx.sum()
+
+        fn = jax.jit(tko)
+        args = (logits,)
+    elif PART == 'tala':
+        # take_along_axis alone with random indices (no top_k)
+        ns = int(12544 * 3.0)
+        nu = int(0.75 * 12544)
+        idx = jnp.asarray(rng.integers(0, ns, (B * N, nu)).astype(np.int32))
+        coords = jax.random.uniform(key, (B * N, ns, 2))
+
+        def ta(idx, coords):
+            return jnp.take_along_axis(coords, idx[..., None], axis=1).sum()
+
+        fn = jax.jit(ta)
+        args = (idx, coords)
+    elif PART == 'topk_sorted':
+        # workaround candidate: exact top-k via full argsort (different
+        # XLA kernel class than lax.top_k's PartialSort)
+        ns = int(12544 * 3.0)
+        nu = int(0.75 * 12544)
+        logits = jnp.asarray(rng.standard_normal((B * N, ns)), jnp.float32)
+        coords = jax.random.uniform(key, (B * N, ns, 2))
+
+        def tks(logits, coords):
+            order = jnp.argsort(-(-jnp.abs(logits)), axis=-1, stable=True)
+            idx = order[:, :nu]
+            picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+            return picked.sum()
+
+        fn = jax.jit(tks)
+        args = (logits, coords)
+    elif PART == 'topk_barrier':
+        # workaround candidate: block the sort→gather fusion with an
+        # optimization_barrier on the indices (numerics unchanged)
+        ns = int(12544 * 3.0)
+        nu = int(0.75 * 12544)
+        logits = jnp.asarray(rng.standard_normal((B * N, ns)), jnp.float32)
+        coords = jax.random.uniform(key, (B * N, ns, 2))
+
+        def tkb(logits, coords):
+            _, idx = jax.lax.top_k(-jnp.abs(logits), nu)
+            idx = jax.lax.optimization_barrier(idx)
+            picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+            return picked.sum()
+
+        fn = jax.jit(tkb)
+        args = (logits, coords)
+    elif PART == 'topk_approx':
+        # workaround candidate: TPU-native approx_max_k (PartialReduce op)
+        ns = int(12544 * 3.0)
+        nu = int(0.75 * 12544)
+        logits = jnp.asarray(rng.standard_normal((B * N, ns)), jnp.float32)
+        coords = jax.random.uniform(key, (B * N, ns, 2))
+
+        def tka(logits, coords):
+            _, idx = jax.lax.approx_max_k(
+                -jnp.abs(logits), nu, recall_target=0.95
+            )
+            picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+            return picked.sum()
+
+        fn = jax.jit(tka)
+        args = (logits, coords)
+    elif PART == 'tala_computed':
+        # diagnostic: indices COMPUTED in-program (no sort) → gather.
+        # Distinguishes "gather with in-program index producer" from
+        # "sort + gather" as the faulting composition.
+        ns = int(12544 * 3.0)
+        nu = int(0.75 * 12544)
+        seed = jnp.asarray(rng.integers(0, 2**31 - 1, (B * N, nu)).astype(np.int32))
+        coords = jax.random.uniform(key, (B * N, ns, 2))
+
+        def tac(seed, coords):
+            idx = (seed * 1103515245 + 12345) % ns
+            picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+            return picked.sum()
+
+        fn = jax.jit(tac)
+        args = (seed, coords)
+    elif PART == 'topk_varsort':
+        # workaround candidate: variadic stable sort carrying the coords
+        # along with the |logit| key — top-nu selection with NO gather.
+        # Stable ascending sort of |x| == torch.topk(-|x|) value order with
+        # index tie-breaking, so the picked coord order is bit-identical.
+        ns = int(12544 * 3.0)
+        nu = int(0.75 * 12544)
+        logits = jnp.asarray(rng.standard_normal((B * N, ns)), jnp.float32)
+        coords = jax.random.uniform(key, (B * N, ns, 2))
+
+        def tkv(logits, coords):
+            keyv = jnp.abs(logits)
+            _, xs, ys = jax.lax.sort(
+                (keyv, coords[..., 0], coords[..., 1]),
+                dimension=-1, is_stable=True, num_keys=1,
+            )
+            picked = jnp.stack([xs[:, :nu], ys[:, :nu]], axis=-1)
+            return picked.sum()
+
+        fn = jax.jit(tkv)
+        args = (logits, coords)
+    elif PART == 'gather':
+        # _uncertainty_points sub-part 1a: ONLY the row gather from the
+        # patch table (no table build, no bilinear weights)
+        ns = int(12544 * 3.0)
+        table = jnp.asarray(
+            rng.standard_normal((B * N * LHW * LHW, 4)), jnp.float32
+        )
+        idx = jnp.asarray(
+            rng.integers(0, B * N * LHW * LHW, (B * N * ns,)).astype(np.int32)
+        )
+
+        def ga(table, idx):
+            return jnp.take(table, idx, axis=0, mode='clip').sum()
+
+        fn = jax.jit(ga)
+        args = (table, idx)
     elif PART == 'masks':
         assigned = jnp.tile(jnp.arange(N, dtype=jnp.int32)[None], (B, 1))
 

@@ -304,6 +304,9 @@ def hungarian_match(
     return jax.vmap(linear_sum_assignment)(cost)
 
 
+_UNCERTAIN_SELECT = os.environ.get('WISTPU_UNCERTAIN', 'varsort')
+
+
 def _uncertainty_points(
     pred_masks: jnp.ndarray,
     rng: jax.Array,
@@ -313,7 +316,19 @@ def _uncertainty_points(
 ) -> jnp.ndarray:
     """Uncertainty-based point coords per mask (HF:675-719).
 
-    pred_masks: (N, H, W). Returns (N, num_points, 2)."""
+    pred_masks: (N, H, W). Returns (N, num_points, 2).
+
+    Selection of the ``num_uncertain`` most-uncertain points defaults to a
+    variadic stable sort that carries the coords alongside the |logit| key
+    (``WISTPU_UNCERTAIN=varsort``) instead of ``lax.top_k`` + gather: the
+    sort→gather composition at small mask counts reproducibly faults the
+    TPU runtime at overfit-gate shapes (N=6, 37632 points — see
+    tools/records/tpu_backend_incident_2026-08-18.md and the bisect logs),
+    while the gather-free variadic sort is healthy everywhere. The two
+    forms are exactly equivalent: ascending stable sort of |logit| ==
+    descending top_k of −|logit| with the same lower-index tie order
+    (asserted in tests/test_losses.py). ``WISTPU_UNCERTAIN=topk`` restores
+    the original composition for A/B."""
     n = pred_masks.shape[0]
     num_sampled = int(num_points * oversample_ratio)
     num_uncertain = int(importance_sample_ratio * num_points)
@@ -323,9 +338,18 @@ def _uncertainty_points(
     coords = jax.random.uniform(r1, (n, num_sampled, 2))
 
     point_logits = _sample_points_batch(pred_masks, coords)  # (N, num_sampled)
-    uncertainty = -jnp.abs(point_logits)  # (N, num_sampled)
-    _, idx = jax.lax.top_k(uncertainty, num_uncertain)
-    picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    if _UNCERTAIN_SELECT == 'topk':
+        uncertainty = -jnp.abs(point_logits)  # (N, num_sampled)
+        _, idx = jax.lax.top_k(uncertainty, num_uncertain)
+        picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    else:
+        _, xs, ys = jax.lax.sort(
+            (jnp.abs(point_logits), coords[..., 0], coords[..., 1]),
+            dimension=-1, is_stable=True, num_keys=1,
+        )
+        picked = jnp.stack(
+            [xs[:, :num_uncertain], ys[:, :num_uncertain]], axis=-1
+        )
     if num_random > 0:
         extra = jax.random.uniform(r2, (n, num_random, 2))
         picked = jnp.concatenate([picked, extra], axis=1)
