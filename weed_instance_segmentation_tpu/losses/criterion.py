@@ -328,7 +328,11 @@ def _uncertainty_points(
     forms are exactly equivalent: ascending stable sort of |logit| ==
     descending top_k of −|logit| with the same lower-index tie order
     (asserted in tests/test_losses.py). ``WISTPU_UNCERTAIN=topk`` restores
-    the original composition for A/B."""
+    the original composition for A/B — which also shows varsort is FASTER
+    at bench shapes (v5e, B2/Q200/NI10 800²: 10-aux criterion forward
+    104.3 ms vs 131.5 ms, 8.6 vs 11.2 ms per aux layer,
+    tools/profile_criterion.py), so the workaround is the better default
+    on both axes."""
     n = pred_masks.shape[0]
     num_sampled = int(num_points * oversample_ratio)
     num_uncertain = int(importance_sample_ratio * num_points)
