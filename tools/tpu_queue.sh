@@ -8,6 +8,7 @@
 # tools/records/ via each job's own output path.
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"  # tools/*.py import the package
 LOG=${QUEUE_LOG:-/tmp/tpu_queue2.log}
 POLL_S=${POLL_S:-300}
 MAX_POLLS=${MAX_POLLS:-120}

@@ -25,6 +25,7 @@ import optax
 
 from weed_instance_segmentation_tpu.losses.criterion import total_loss
 from weed_instance_segmentation_tpu.models.configuration import Mask2FormerConfig
+from weed_instance_segmentation_tpu.processing.wire import decode_batch
 
 
 class TrainState(NamedTuple):
@@ -56,8 +57,10 @@ def make_loss_fn(model, cfg: Mask2FormerConfig, augment=None) -> Callable:
     (the default) is the parity behavior."""
 
     def loss_fn(params, batch, rng):
-        # masks arrive uint8 (pad_batch_static ships them at 1 byte/px to
-        # quarter the host→HBM transfer); cast on device, where XLA fuses it
+        # masks arrive uint8 or wire-packed at 1 bit/px (processing/wire.py
+        # shrinks the host→HBM transfer ~3.5×); unpack + cast on device,
+        # where XLA fuses both into the first consumers
+        batch = decode_batch(batch)
         batch = dict(batch, mask_labels=batch['mask_labels'].astype(jnp.float32))
         if augment is not None:
             from weed_instance_segmentation_tpu.processing.augment import augment_batch
@@ -117,6 +120,7 @@ def make_eval_step(model, cfg: Mask2FormerConfig) -> Callable:
     Deterministic: dropout off; the point-sampling RNG is fixed per batch
     for a stable val metric."""
     def loss_eval(params, batch, rng):
+        batch = decode_batch(batch)
         outputs = model.apply({'params': params}, batch['pixel_values'], deterministic=True)
         loss, _ = total_loss(
             outputs,
