@@ -187,9 +187,12 @@ def measure_train() -> dict:
     time × steps / pipelined wall — free of async-dispatch skew, VERDICT
     r2 weak #5)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from weed_instance_segmentation_tpu.datasets.dataset_utils import PreprocessedDataset
+    from weed_instance_segmentation_tpu.datasets.dataset_utils import (
+        TRAIN_SAMPLE_KEYS, PreprocessedDataset, make_train_collate,
+    )
     from weed_instance_segmentation_tpu.datasets.loader import DataLoader, prefetch_iterator
     from weed_instance_segmentation_tpu.engine.steps import (
         create_train_state, make_train_step,
@@ -211,10 +214,25 @@ def measure_train() -> dict:
     state = replicate_tree(state, mesh)
 
     cache_dir = _synth_cache(cfg.num_labels)
-    dataset = PreprocessedDataset(cache_dir)
+    # the training driver's fast input path (engine/train.py): keys-filtered
+    # npz decode + single-pass static collate + wire encode, all in the
+    # loader thread; BENCH_FASTPATH=0 reverts to the staged r3 path for A/B
+    fastpath = os.environ.get('BENCH_FASTPATH', '1') == '1'
+    if fastpath:
+        dataset = PreprocessedDataset(cache_dir, keys=TRAIN_SAMPLE_KEYS)
+        collate = make_train_collate(
+            (HW, HW), MAX_INSTANCES, TRAIN_BATCH,
+            pixels_dtype=(jnp.bfloat16 if DTYPE == 'bfloat16' else None),
+        )
+    else:
+        from weed_instance_segmentation_tpu.datasets.dataset_utils import collate_fn
+
+        dataset = PreprocessedDataset(cache_dir)
+        collate = collate_fn
 
     def fresh_iter():
-        loader = DataLoader(dataset, TRAIN_BATCH, shuffle=False, prefetch=2)
+        loader = DataLoader(dataset, TRAIN_BATCH, shuffle=False, prefetch=2,
+                            collate=collate)
         return prefetch_iterator(
             _device_batches(loader, (HW, HW), MAX_INSTANCES, mesh, TRAIN_BATCH),
             depth=2,

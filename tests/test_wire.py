@@ -104,3 +104,75 @@ def test_train_step_identical_loss_from_encoded_batch():
     jax.tree_util.tree_map(
         np.testing.assert_array_equal, params_plain, params_wire
     )
+
+
+def _raw_samples(n, h, w, n_inst=3, seed=0):
+    """TRAIN_SAMPLE_KEYS samples as PreprocessedDataset(keys=...) yields
+    them: f32 pixels, uint8 binary masks, int64 classes."""
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            'pixel_values': rng.standard_normal((3, h - 4 * k, w - 8 * k)).astype(np.float32),
+            'mask_labels': (rng.random((2 + k, h - 4 * k, w - 8 * k)) > 0.7).astype(np.uint8),
+            'class_labels': rng.integers(0, 3, (2 + k,)).astype(np.int64),
+        }
+        for k in range(n)
+    ]
+
+
+@pytest.mark.parametrize('pixels_dtype', [None, jnp.bfloat16])
+def test_train_collate_matches_staged_path(pixels_dtype):
+    """The single-pass fast collate (dataset_utils.make_train_collate) must
+    produce bit-identical encoded batches to the round-3 staged path
+    (pad_batch_static → encode_batch) — same keys, same bytes."""
+    from weed_instance_segmentation_tpu.datasets.dataset_utils import (
+        make_train_collate, pad_batch_static,
+    )
+
+    samples = _raw_samples(2, 48, 56)
+    fast = make_train_collate((48, 56), 4, 2, wire=True, pixels_dtype=pixels_dtype)(samples)
+    staged = encode_batch(
+        pad_batch_static(samples, (48, 56), 4), pixels_dtype=pixels_dtype
+    )
+    assert set(fast) == set(staged)
+    for k in staged:
+        assert fast[k].dtype == np.asarray(staged[k]).dtype, k
+        np.testing.assert_array_equal(np.asarray(fast[k]), np.asarray(staged[k]), err_msg=k)
+
+
+def test_train_collate_short_batch_padded_and_invalidated():
+    from weed_instance_segmentation_tpu.datasets.dataset_utils import make_train_collate
+
+    samples = _raw_samples(1, 48, 56)
+    out = make_train_collate((48, 56), 4, 3, wire=True)(samples)
+    assert out['pixel_values'].shape[0] == 3
+    np.testing.assert_array_equal(out['sample_valid'], [1.0, 0.0, 0.0])
+    assert out['instance_valid'][1:].sum() == 0.0
+    # repeats carry the real sample's pixels (shape filler only)
+    np.testing.assert_array_equal(out['pixel_values'][1], out['pixel_values'][0])
+
+
+def test_train_collate_wire_off_is_plain_static_batch():
+    from weed_instance_segmentation_tpu.datasets.dataset_utils import (
+        make_train_collate, pad_batch_static,
+    )
+
+    samples = _raw_samples(2, 48, 56)
+    out = make_train_collate((48, 56), 4, 2, wire=False)(samples)
+    ref = pad_batch_static(samples, (48, 56), 4)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]), err_msg=k)
+
+
+def test_encode_rejects_unanchored_rectangle():
+    """ADVICE r3: a rectangle NOT anchored top-left must take the packbits
+    fallback (the extents decode would silently relocate it)."""
+    batch = _batch()
+    pm = np.zeros_like(batch['pixel_mask'])
+    pm[:, 8:40, 8:40] = 1.0  # interior rectangle: area == h*w but shifted
+    batch['pixel_mask'] = pm
+    enc = encode_batch(batch)
+    assert 'pixel_mask_packed' in enc and 'pixel_mask_hw' not in enc
+    dec = decode_batch(enc)
+    np.testing.assert_array_equal(np.asarray(dec['pixel_mask']), pm)

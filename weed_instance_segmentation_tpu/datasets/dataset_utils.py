@@ -51,10 +51,18 @@ def _npz_dict_to_sample(z) -> dict:
 
 class PreprocessedDataset:
     """Loader for pre-processed per-sample ``.npz`` files (reference:
-    datasets/dataset_utils.py:7-33 with ``.pt``)."""
+    datasets/dataset_utils.py:7-33 with ``.pt``).
 
-    def __init__(self, processed_dir: str):
+    ``keys``: optional tuple restricting which arrays each ``__getitem__``
+    decodes — the training loop needs only ``TRAIN_SAMPLE_KEYS``, and the
+    full reference-schema sample costs ~2.5× more host time per item
+    (original_map decode + the uint8→float32 mask cast that the static
+    batcher immediately casts back). ``keys=None`` keeps the full
+    reference-parity sample."""
+
+    def __init__(self, processed_dir: str, keys: tuple[str, ...] | None = None):
         self.processed_dir = processed_dir
+        self.keys = keys
         self.files = sorted(glob.glob(os.path.join(processed_dir, '*' + config.CACHE_SUFFIX)))
         if len(self.files) == 0:
             print(f'WARNING: No {config.CACHE_SUFFIX} files found in "{processed_dir}"')
@@ -66,7 +74,10 @@ class PreprocessedDataset:
 
     def __getitem__(self, idx: int) -> dict:
         with np.load(self.files[idx], allow_pickle=False) as z:
-            return _npz_dict_to_sample(z)
+            if self.keys is None:
+                return _npz_dict_to_sample(z)
+            # raw stored dtypes: f32 pixels, uint8 masks, int64 classes
+            return {k: z[k] for k in self.keys}
 
 
 class ConcatDataset:
@@ -180,6 +191,90 @@ def pad_batch_static(
         'instance_valid': instance_valid,
         'sample_valid': np.ones((b,), dtype=np.float32),
     }
+
+
+TRAIN_SAMPLE_KEYS = ('pixel_values', 'mask_labels', 'class_labels')
+
+
+def make_train_collate(
+    pad_hw: tuple[int, int],
+    max_instances: int,
+    batch_rows: int,
+    wire: bool | None = None,
+    pixels_dtype=None,
+):
+    """Collate ``TRAIN_SAMPLE_KEYS`` samples straight into the device-ready
+    static batch, inside the DataLoader's producer thread.
+
+    The round-3 input path did this in three stages (ragged ``collate_fn`` →
+    ``pad_batch_static`` → ``processing.wire.encode_batch``) across two
+    threads, costing ~200 ms of host time per b2 800² batch — more than the
+    ~98 ms/step of non-overlapped input BENCH_r03 charged against the 0.80
+    duty-cycle north star. This single pass skips the uint8→f32→uint8 mask
+    round-trip, never materializes the (B, H, W) f32 ``pixel_mask`` (the
+    wire format is two extents per sample), and casts pixels to the compute
+    dtype during their one unavoidable copy (~55 ms/batch measured,
+    tools/records/probe_input_pipeline.json).
+
+    Short batches are padded with repeats of the last sample and the repeats
+    zeroed in ``sample_valid``/``instance_valid`` (multi-host loaders pad
+    indices themselves and pass the true count as ``num_valid`` — the
+    consumer re-zeroes from it). ``wire=None`` reads ``WISTPU_WIRE`` per
+    batch (ADVICE r3: env knobs are read at use time); wire off yields the
+    plain ``pad_batch_static`` layout for A/B and f32 debugging. Decoded
+    bits are identical to the staged path (tests/test_wire.py).
+
+    Reference workload being fed: /root/reference/models/mask2former/train.py:191-206.
+    """
+    ph, pw = pad_hw
+
+    def collate(samples: list[dict]) -> dict:
+        n = len(samples)
+        samples = list(samples) + [samples[-1]] * (batch_rows - n)
+        use_wire = wire if wire is not None else os.environ.get('WISTPU_WIRE', '1') == '1'
+        if not use_wire:
+            out = pad_batch_static(samples, pad_hw, max_instances)
+        else:
+            b = len(samples)
+            pixels = np.zeros((b, 3, ph, pw), dtype=pixels_dtype or np.float32)
+            masks = np.zeros((b, max_instances, ph, pw), dtype=np.uint8)
+            hw = np.zeros((b, 2), dtype=np.int32)
+            class_labels = np.zeros((b, max_instances), dtype=np.int32)
+            instance_valid = np.zeros((b, max_instances), dtype=np.float32)
+            for k, item in enumerate(samples):
+                _, h, w = item['pixel_values'].shape
+                if h > ph or w > pw:
+                    raise ValueError(
+                        f'sample {k} ({h}x{w}) exceeds static pad size {pad_hw}'
+                    )
+                pixels[k, :, :h, :w] = item['pixel_values']
+                hw[k] = (h, w)
+                ni = min(item['mask_labels'].shape[0], max_instances)
+                if item['mask_labels'].shape[0] > max_instances:
+                    print(
+                        f'WARNING: sample has {item["mask_labels"].shape[0]} '
+                        f'instances, truncating to MAX_INSTANCES={max_instances}'
+                    )
+                if ni > 0:
+                    mh, mw = item['mask_labels'].shape[1:]
+                    np.not_equal(
+                        item['mask_labels'][:ni], 0, out=masks[k, :ni, :mh, :mw]
+                    )
+                    class_labels[k, :ni] = item['class_labels'][:ni]
+                    instance_valid[k, :ni] = 1.0
+            out = {
+                'pixel_values': pixels,
+                'mask_labels_packed': np.packbits(masks, axis=-1),
+                'pixel_mask_hw': hw,
+                'class_labels': class_labels,
+                'instance_valid': instance_valid,
+                'sample_valid': np.ones((b,), dtype=np.float32),
+            }
+        out['sample_valid'][n:] = 0.0
+        out['instance_valid'][n:] = 0.0
+        return out
+
+    return collate
 
 
 def process_and_save(dataset, output_dir: str) -> None:

@@ -32,8 +32,9 @@ import numpy as np
 
 from weed_instance_segmentation_tpu import config
 from weed_instance_segmentation_tpu.datasets.dataset_utils import (
-    ConcatDataset, PreprocessedDataset, collate_fn, compute_static_pad_hw,
-    pad_batch_static, process_and_save,
+    TRAIN_SAMPLE_KEYS, ConcatDataset, PreprocessedDataset, collate_fn,
+    compute_static_pad_hw, make_train_collate, pad_batch_static,
+    process_and_save,
 )
 from weed_instance_segmentation_tpu.datasets.factory import get_dataset_and_config
 from weed_instance_segmentation_tpu.datasets.loader import DataLoader, prefetch_iterator
@@ -54,9 +55,12 @@ from weed_instance_segmentation_tpu.processing.wire import encode_batch
 
 SPECIFIC_OUTPUT_DIR = os.path.join(config.MODELS_OUTPUT_DIR, 'mask2former_fine_tuned/')
 
-# host→device wire codec (processing/wire.py); on by default, settable off
-# for debugging transfers
-_WIRE = os.environ.get('WISTPU_WIRE', '1') == '1'
+
+def _wire_enabled() -> bool:
+    """Host→device wire codec (processing/wire.py); on by default, settable
+    off for debugging transfers. Read per use so tests/notebooks can flip
+    WISTPU_WIRE after import (ADVICE r3)."""
+    return os.environ.get('WISTPU_WIRE', '1') == '1'
 
 
 def get_unified_labels(dataset_list: list) -> tuple[dict, dict]:
@@ -97,9 +101,21 @@ def _device_batches(loader, pad_hw, max_instances, mesh, batch_size):
     Multi-host: the loader already yields this host's 1/process_count slice
     of the global batch (with ``num_valid`` marking trailing repeats), so
     padding here targets the LOCAL batch size and ``shard_batch`` assembles
-    the global array from process-local rows."""
+    the global array from process-local rows.
+
+    Loaders collating with ``make_train_collate`` yield device-ready static
+    batches (the fast input path); those only need the multi-host
+    ``num_valid`` re-zeroing and sharding here."""
     local_bs = batch_size // jax.process_count()
+    wire = _wire_enabled()
     for batch in loader:
+        if 'sample_valid' in batch:  # already statically collated
+            n = batch.pop('num_valid', local_bs)
+            if n < local_bs:
+                batch['sample_valid'][n:] = 0.0
+                batch['instance_valid'][n:] = 0.0
+            yield shard_batch(batch, mesh)
+            continue
         n_samples = len(batch['file_names'])
         n = batch.get('num_valid', n_samples)
         samples = [
@@ -115,7 +131,7 @@ def _device_batches(loader, pad_hw, max_instances, mesh, batch_size):
         device_batch = pad_batch_static(samples, pad_hw, max_instances)
         device_batch['sample_valid'][n:] = 0.0
         device_batch['instance_valid'][n:] = 0.0
-        if _WIRE:
+        if wire:
             # bit-pack masks / extent-code pixel_mask / compute-dtype pixels
             # on the host; the jitted step unpacks (processing/wire.py) —
             # ~3.5× fewer bytes over the host→device link
@@ -227,8 +243,11 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
                 _, ds_config = get_dataset_and_config(dataset_name)
                 paths = {s: os.path.join(ds_config.PROCESSED_DIR, s)
                          for s in ('Train', 'Validate', 'Test')}
-            train_datasets.append(PreprocessedDataset(paths['Train']))
-            val_datasets.append(PreprocessedDataset(paths['Validate']))
+            # train/val only feed the jitted loss — decode just the three
+            # keys it needs (fast input path); the test split keeps the full
+            # reference sample schema (metrics rebuild GT from original_map)
+            train_datasets.append(PreprocessedDataset(paths['Train'], keys=TRAIN_SAMPLE_KEYS))
+            val_datasets.append(PreprocessedDataset(paths['Validate'], keys=TRAIN_SAMPLE_KEYS))
             test_datasets.append(PreprocessedDataset(paths['Test']))
             processed_dirs.extend(paths.values())
 
@@ -258,8 +277,15 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
             print(f'\tBATCH_SIZE {config.BATCH_SIZE} rounded to {batch_size} for {n_dev} devices')
 
         shard_kw = dict(process_index=proc_idx, process_count=proc_cnt)
-        train_loader = DataLoader(full_train, batch_size, shuffle=True, collate=collate_fn, **shard_kw)
-        val_loader = DataLoader(full_val, batch_size, shuffle=False, collate=collate_fn, **shard_kw)
+        # single-pass static collate in the loader thread (≥80% duty north
+        # star): pad + wire-encode happen where the npz bytes are already hot
+        fast_collate = make_train_collate(
+            pad_hw, max_instances, batch_size // proc_cnt,
+            pixels_dtype=(jnp.bfloat16
+                          if config.COMPUTE_DTYPE == 'bfloat16' else None),
+        )
+        train_loader = DataLoader(full_train, batch_size, shuffle=True, collate=fast_collate, **shard_kw)
+        val_loader = DataLoader(full_val, batch_size, shuffle=False, collate=fast_collate, **shard_kw)
         # the test phase post-processes per image on the host, so it reads
         # the full split (host 0 runs it alone in multi-host mode)
         test_loader = DataLoader(full_test, batch_size, shuffle=False, collate=collate_fn)

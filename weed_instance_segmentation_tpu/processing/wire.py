@@ -55,9 +55,22 @@ def encode_batch(batch: dict, pixels_dtype=None) -> dict:
     del out['mask_labels']
 
     pm = np.asarray(batch['pixel_mask'])
-    h = pm.any(axis=2).sum(axis=1).astype(np.int32)  # (B,)
-    w = pm.any(axis=1).sum(axis=1).astype(np.int32)
-    if (pm.sum(axis=(1, 2)) == h.astype(np.int64) * w).all():
+    rows = pm.any(axis=2)  # (B, H)
+    cols = pm.any(axis=1)  # (B, W)
+    h = rows.sum(axis=1).astype(np.int32)  # (B,)
+    w = cols.sum(axis=1).astype(np.int32)
+    # decode_batch rebuilds a TOP-LEFT-anchored rectangle, so take the
+    # extents path only when the mask provably is one (ADVICE r3): the
+    # integer popcount must equal h·w (f32 accumulation could round at
+    # ≥2^24 px) AND the occupied rows/cols must be the contiguous prefix
+    # (a relocated or row×col-product mask would otherwise be silently
+    # moved to the corner).
+    anchored = (
+        ((pm != 0).sum(axis=(1, 2), dtype=np.int64) == h.astype(np.int64) * w).all()
+        and (rows == (np.arange(pm.shape[1]) < h[:, None])).all()
+        and (cols == (np.arange(pm.shape[2]) < w[:, None])).all()
+    )
+    if anchored:
         # top-left all-ones rectangle (pad_batch_static's invariant):
         # two extents replace (B, H, W) f32
         out['pixel_mask_hw'] = np.stack([h, w], axis=1)  # (B, 2) int32
