@@ -92,7 +92,7 @@ def measure_infer() -> float:
         # after DCE — the (B,Q,H,W) binary-mask output is not a serving
         # deliverable here (the id map is) and would dominate HBM traffic
         res = post_process_instance_arrays(
-            cls_logits, msk_logits, (HW, HW), 0.5
+            cls_logits, msk_logits, (HW, HW), 0.5, with_masks=False
         )
         return (
             res.segmentation.sum(dtype=jnp.int32).astype(jnp.float32)

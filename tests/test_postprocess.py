@@ -119,3 +119,68 @@ def test_jit_arrays_batched(rng):
     # all slot scores are finite probabilities
     scores = np.asarray(res.scores)
     assert ((scores >= 0) & (scores <= 1)).all()
+
+
+def _naive_oracle(class_logits, mask_logits, target_size, threshold):
+    """Sequential numpy transcription of HF:1122-1177 with OUR top-k order
+    (sorted descending), pinning the optimized device path exactly —
+    including overwrite order on multiply-covered pixels, which the
+    order-invariant HF comparisons above cannot."""
+    from weed_instance_segmentation_tpu.ops.resize import (
+        interpolate_bilinear_np, interpolate_nearest_np,
+    )
+
+    q, cp1 = class_logits.shape
+    c = cp1 - 1
+    up = interpolate_bilinear_np(mask_logits, (384, 384))
+    e = np.exp(class_logits - class_logits.max(-1, keepdims=True))
+    scores = (e / e.sum(-1, keepdims=True))[:, :-1]
+    flat = scores.reshape(-1)
+    order = np.argsort(-flat, kind='stable')[:q]
+    labels = order % c
+    qi = order // c
+    seg = np.full(target_size, -1, np.int32)
+    infos = []
+    next_id = 0
+    for slot in range(q):
+        m = up[qi[slot]]
+        b = (m > 0).astype(np.float32)
+        ms = (1 / (1 + np.exp(-m)) * b).sum() / (b.sum() + 1e-6)
+        score = flat[order[slot]] * ms
+        bt = interpolate_nearest_np(b, target_size) == 1.0
+        if score >= threshold and bt.any():
+            seg[bt] = next_id
+            infos.append((next_id, int(labels[slot]), float(score)))
+            next_id += 1
+    return seg, infos
+
+
+@pytest.mark.parametrize('target_size', [(20, 30), (384, 384), (500, 700)])
+def test_arrays_match_naive_oracle_exactly(rng, target_size):
+    class_logits, mask_logits = _random_outputs(rng, b=2, q=12, c=3)
+    res = post_process_instance_arrays(
+        jnp.asarray(class_logits), jnp.asarray(mask_logits), target_size, 0.3
+    )
+    res_nm = post_process_instance_arrays(
+        jnp.asarray(class_logits), jnp.asarray(mask_logits), target_size, 0.3,
+        with_masks=False,
+    )
+    assert res_nm.masks is None
+    for i in range(2):
+        seg, infos = _naive_oracle(class_logits[i], mask_logits[i], target_size, 0.3)
+        np.testing.assert_array_equal(np.asarray(res.segmentation[i]), seg)
+        np.testing.assert_array_equal(np.asarray(res_nm.segmentation[i]), seg)
+        valid = np.asarray(res.valid[i])
+        got = [
+            (int(res.segment_ids[i][j]), int(res.labels[i][j]),
+             float(res.scores[i][j]))
+            for j in range(len(valid)) if valid[j]
+        ]
+        assert len(got) == len(infos)
+        for (gid, gl, gs), (wid, wl, ws) in zip(got, infos):
+            assert (gid, gl) == (wid, wl)
+            assert gs == pytest.approx(ws, abs=2e-6)
+        # returned masks at target size match the oracle's kept-mask rasters
+        for j in range(len(valid)):
+            if valid[j]:
+                assert np.asarray(res.masks[i][j]).shape == target_size

@@ -55,48 +55,81 @@ class InstanceSegmentationResult(NamedTuple):
     masks: jnp.ndarray  # (Q, H, W) bool binary masks at target size
 
 
-@partial(jax.jit, static_argnames=('target_size', 'threshold'))
+@partial(jax.jit, static_argnames=('target_size', 'threshold', 'with_masks'))
 def post_process_instance_arrays(
     class_queries_logits: jnp.ndarray,
     masks_queries_logits: jnp.ndarray,
     target_size: tuple[int, int],
     threshold: float = 0.5,
+    with_masks: bool = True,
 ) -> InstanceSegmentationResult:
     """Batched jit post-processing. Inputs (B, Q, C+1) and (B, Q, Hm, Wm);
-    returns batch-leading fixed-size arrays."""
+    returns batch-leading fixed-size arrays.
+
+    Bit-identical to the HF sequence but restructured for HBM (the naive
+    transcription moved ~900 MB/image at 800²; VERDICT r3 #2):
+
+    - everything runs at the 384² scoring resolution; the target-size
+      nearest resize (HF:1156-1160) is a floor gather, which commutes with
+      the per-pixel last-covering-slot max, so only the final (H, W) int32
+      id map is gathered to target size — never (Q, H, W) f32 masks;
+    - the (Q, 384²) top-k query gather (HF:1146) is replaced by a per-query
+      reduction: for each ORIGINAL query, the maximum kept top-k slot that
+      selects it; the overwrite max then runs over un-gathered masks;
+    - per-query coverage (the empty-mask skip, HF:1162) is evaluated on the
+      statically-known set of 384² source pixels the target grid actually
+      samples, which equals coverage at target size exactly;
+    - ``with_masks=False`` (serving id-map/bench path) skips materializing
+      the (Q, H, W) target-size binary masks entirely (``masks=None``);
+      metrics/export keep the default.
+    """
+    th, tw = target_size
+    sh, sw = SCORE_RESOLUTION
+    # torch legacy nearest: src = floor(dst * in/out) (ops/resize.py)
+    ys = np.minimum(np.floor(np.arange(th) * (sh / th)).astype(np.int64), sh - 1)
+    xs = np.minimum(np.floor(np.arange(tw) * (sw / tw)).astype(np.int64), sw - 1)
+    hit_rows = np.unique(ys)  # source pixels the target grid samples —
+    hit_cols = np.unique(xs)  # all of them when upsampling, a subset when not
 
     def one(mask_cls, mask_pred):
         num_queries, num_classes_p1 = mask_cls.shape
         num_classes = num_classes_p1 - 1
 
-        mask_pred = interpolate_bilinear(mask_pred, SCORE_RESOLUTION)  # (Q,384,384)
+        up = interpolate_bilinear(mask_pred, SCORE_RESOLUTION)  # (Q,384,384)
+        bin_orig = up > 0  # (Q, 384, 384) bool, original query order
+        binf = bin_orig.astype(jnp.float32)
+        mask_scores_q = (jax.nn.sigmoid(up) * binf).sum((-1, -2)) / (
+            binf.sum((-1, -2)) + 1e-6
+        )  # (Q,) per original query (slots sharing a query dedup for free)
+        covers_target_q = bin_orig[:, hit_rows][:, :, hit_cols].any((-1, -2))
 
         scores = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]  # (Q, C)
         flat_scores = scores.reshape(-1)
         scores_per_image, topk_indices = jax.lax.top_k(flat_scores, num_queries)
         labels_per_image = topk_indices % num_classes
         query_indices = topk_indices // num_classes
-        mask_pred = mask_pred[query_indices]  # (Q, 384, 384)
+        pred_scores = scores_per_image * mask_scores_q[query_indices]
 
-        pred_masks = (mask_pred > 0).astype(jnp.float32)
-        mask_scores = (jax.nn.sigmoid(mask_pred) * pred_masks).sum((-1, -2)) / (
-            pred_masks.sum((-1, -2)) + 1e-6
-        )
-        pred_scores = scores_per_image * mask_scores
-
-        binary = interpolate_nearest(pred_masks, target_size) == 1.0  # (Q, H, W) bool
-
-        keep = (pred_scores >= threshold) & binary.any((-1, -2))
+        keep = (pred_scores >= threshold) & covers_target_q[query_indices]
         # ids 0,1,2,… assigned in slot order over kept slots (HF:1171)
         seg_ids = jnp.where(keep, jnp.cumsum(keep) - 1, -1).astype(jnp.int32)
 
-        # sequential overwrite: per pixel, the LAST kept covering slot wins
-        slot = jnp.arange(num_queries, dtype=jnp.int32)[:, None, None]
-        covering = jnp.where(keep[:, None, None] & binary, slot, -1)  # (Q, H, W)
-        last_slot = covering.max(axis=0)  # (H, W), -1 if none
-        segmentation = jnp.where(
+        # sequential overwrite: per pixel, the LAST kept covering slot wins.
+        # Dense (Q, Q) form instead of a scatter-max: per original query,
+        # the max kept slot selecting it (slots can repeat queries — one
+        # query may pass top-k under several classes).
+        slots = jnp.arange(num_queries, dtype=jnp.int32)
+        selects = (query_indices[None, :] == slots[:, None]) & keep[None, :]
+        maxslot_q = jnp.max(
+            jnp.where(selects, slots[None, :], -1), axis=1
+        )  # (Q,) in original query order, -1 if never kept
+        last_slot = jnp.max(
+            jnp.where(bin_orig, maxslot_q[:, None, None], -1), axis=0
+        )  # (384, 384), -1 if no kept mask covers the pixel
+        seg_small = jnp.where(
             last_slot >= 0, seg_ids[jnp.clip(last_slot, 0, num_queries - 1)], -1
         ).astype(jnp.int32)
+        segmentation = seg_small[ys][:, xs]  # (H, W) — the one target gather
 
         return InstanceSegmentationResult(
             segmentation=segmentation,
@@ -104,7 +137,7 @@ def post_process_instance_arrays(
             labels=labels_per_image.astype(jnp.int32),
             scores=pred_scores.astype(jnp.float32),
             valid=keep,
-            masks=binary,
+            masks=bin_orig[query_indices][:, ys][:, :, xs] if with_masks else None,
         )
 
     return jax.vmap(one)(class_queries_logits, masks_queries_logits)
