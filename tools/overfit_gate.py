@@ -47,9 +47,18 @@ HW = int(os.environ.get('OG_HW', '256'))
 BATCH = int(os.environ.get('OG_BATCH', '2'))
 N_IMAGES = int(os.environ.get('OG_IMAGES', '6'))
 DTYPE = os.environ.get('OG_DTYPE', 'bfloat16')
-LOSS_MAX = float(os.environ.get('OG_LOSS_MAX', '6.0'))
-MAP50_MIN = float(os.environ.get('OG_MAP50_MIN', '0.9'))
-MAP_MIN = float(os.environ.get('OG_MAP_MIN', '0.5'))
+# Pass bars derived from the two full-length passing records (VERDICT r3
+# weak #5 asked for thresholds with stated margin, not round numbers):
+#   records/overfit_swin-tiny_bfloat16.json (chip): final 2.02, mAP@50 0.9094
+#   records/overfit_tiny-test_float32_cpu_pass.json: final 1.69, mAP@50 0.9862
+# loss_max   = 2 × worst achieved final-20-step mean = 2 × 2.02 ≈ 4.0
+# map50_min  = worst achieved − 0.05 = 0.9094 − 0.05 ≈ 0.86
+# map_min    = worst achieved − 0.05 = 0.9009 − 0.05 ≈ 0.85
+# (final loss is already a 20-step mean, so the 1.63→2.41 endpoint wobble
+# in the bf16 record is inside these bars by construction)
+LOSS_MAX = float(os.environ.get('OG_LOSS_MAX', '4.0'))
+MAP50_MIN = float(os.environ.get('OG_MAP50_MIN', '0.86'))
+MAP_MIN = float(os.environ.get('OG_MAP_MIN', '0.85'))
 LOG_EVERY = int(os.environ.get('OG_LOG_EVERY', '10'))
 
 LABEL2ID = {'Sorghum': 0, 'BLweed': 1}
