@@ -143,17 +143,42 @@ def main():
     result = {'losses': losses, 'param_sum': param_sum}
 
     if cfg.get('test_metrics'):
-        # the distributed test phase: all hosts run the sharded forwards,
-        # logits allgathered, host 0 does postprocess + metric bookkeeping
+        # the distributed test phase: each host reads only ITS 1/P slice of
+        # the split, post-processes its own rows of the sharded forward, and
+        # the per-image metric entries merge on host 0 (engine/metrics.py)
         from weed_instance_segmentation_tpu.datasets.dataset_utils import collate_fn
         from weed_instance_segmentation_tpu.engine.metrics import test_with_metrics
         from weed_instance_segmentation_tpu.engine.steps import make_forward_fn
 
+        class CountingDataset:
+            """Asserts the no-read-amplification contract: this host must
+            read at most ceil(n / nproc) + per-batch-repeat samples."""
+
+            def __init__(self, data):
+                self.data = data
+                self.reads = 0
+
+            def __len__(self):
+                return len(self.data)
+
+            def __getitem__(self, i):
+                self.reads += 1
+                return self.data[i]
+
+        counting = CountingDataset(build_dataset())
         test_loader = DataLoader(
-            build_dataset(), 4, shuffle=False, collate=collate_fn, prefetch=0,
+            counting, 4, shuffle=False, collate=collate_fn, prefetch=0,
+            process_index=jax.process_index(), process_count=jax.process_count(),
         )
         metrics = test_with_metrics(
             make_forward_fn(model), state.params, test_loader, mesh=mesh,
+            pad_hw=(64, 64),
+        )
+        n_batches = len(test_loader)
+        local_bs = 4 // jax.process_count()
+        assert counting.reads <= n_batches * local_bs, (
+            f'test phase read {counting.reads} samples on one host; '
+            f'expected ≤ {n_batches * local_bs}'
         )
         if jax.process_index() == 0:
             result['test_map'] = float(np.asarray(metrics['map']))

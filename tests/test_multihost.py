@@ -113,9 +113,11 @@ def test_two_host_model_parallel_matches_single_process(tmp_path):
 @pytest.mark.slow
 def test_two_host_test_phase_matches_single_process(tmp_path):
     """The distributed test phase (engine/metrics.py multi-host path: every
-    host runs the sharded forward, final-layer logits allgathered, host 0
-    does postprocess + mAP) must produce the same metrics as the
-    single-process run — through the same trained model (same losses)."""
+    host reads only its 1/P slice of the split, post-processes its own rows
+    of the sharded forward, per-image metric entries merge on host 0) must
+    produce the same metrics as the single-process run — through the same
+    trained model (same losses). The worker additionally asserts the
+    no-read-amplification contract on its dataset."""
     single_out = str(tmp_path / 'single_tm.json')
     pair_out = str(tmp_path / 'pair_tm.json')
 

@@ -126,7 +126,8 @@ def make_fixture(root: str, n: int = N_IMAGES, hw: int = HW, seed: int = 7) -> N
 
 def run_gate(workdir: str, arch: str = ARCH, steps: int = STEPS, lr: float = LR,
              hw: int = HW, batch: int = BATCH, n_images: int = N_IMAGES,
-             dtype: str = DTYPE, log_every: int = LOG_EVERY) -> dict:
+             dtype: str = DTYPE, log_every: int = LOG_EVERY,
+             encoder_points: int | None = None) -> dict:
     """Build fixture → cache → train `steps` → train-split mAP. Returns the
     run record (loss curve + metrics); pure function of its arguments."""
     import jax
@@ -172,6 +173,10 @@ def run_gate(workdir: str, arch: str = ARCH, steps: int = STEPS, lr: float = LR,
 
     cfg = config_for_arch(arch, num_labels=len(LABEL2ID))
     cfg.id2label, cfg.label2id = ID2LABEL, LABEL2ID
+    if encoder_points is not None:
+        # tools/ab_msda_points.py accuracy arm (gather-row lever; deviates
+        # from HF's 4-point deformable sampling — from-scratch configs only)
+        cfg.encoder_n_points = encoder_points
     import jax.numpy as jnp
 
     model = Mask2Former(cfg, dtype=jnp.dtype(dtype))
@@ -222,6 +227,7 @@ def run_gate(workdir: str, arch: str = ARCH, steps: int = STEPS, lr: float = LR,
     record = {
         'arch': arch, 'steps': steps, 'lr': lr, 'hw': hw, 'batch': batch,
         'n_images': n_images, 'dtype': dtype,
+        'encoder_points': encoder_points,
         'platform': jax.devices()[0].platform,
         'initial_loss': round(initial, 4),
         'final_loss': round(final, 4),
@@ -242,7 +248,8 @@ def main() -> int:
         f'overfit_{ARCH}_{DTYPE}.json',
     )
     with tempfile.TemporaryDirectory(prefix='overfit_gate_') as workdir:
-        record = run_gate(workdir)
+        record = run_gate(workdir, encoder_points=(
+            int(os.environ['OG_POINTS']) if os.environ.get('OG_POINTS') else None))
     record['thresholds'] = {
         'loss_max': LOSS_MAX, 'map50_min': MAP50_MIN, 'map_min': MAP_MIN,
     }

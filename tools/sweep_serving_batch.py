@@ -45,6 +45,14 @@ cfg = config_for_arch(ARCH, num_labels=5)
 model = Mask2Former(cfg, dtype=jnp.dtype(DTYPE))
 params = init_params(model, cfg, image_hw=(128, 128))
 
+record = {
+    'arch': ARCH, 'hw': HW, 'hw_in': HW_IN, 'dtype': DTYPE, 'iters': ITERS,
+    'platform': jax.devices()[0].platform, 'configs': {},
+}
+RECORD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'records', 'serving_sweep.json'
+)
+
 for batch, micro in CONFIGS:
     serve = jax.jit(make_serving_fn(
         model, params, out_hw=(HW, HW), threshold=0.5, micro_batch=micro,
@@ -64,6 +72,9 @@ for batch, micro in CONFIGS:
     except Exception as e:
         print(f'b{batch} micro{micro}: FAILED: {type(e).__name__}: {e}'[:300],
               flush=True)
+        record['configs'][f'b{batch}_micro{micro}'] = {
+            'error': f'{type(e).__name__}: {e}'[:200]
+        }
         continue
     compile_s = time.perf_counter() - t0
 
@@ -79,3 +90,14 @@ for batch, micro in CONFIGS:
         f'b{batch} micro{micro}: {ips:7.2f} img/s  {1000 * dt / ITERS:7.1f}'
         f' ms/step  (compile {compile_s:.0f}s)', flush=True,
     )
+    record['configs'][f'b{batch}_micro{micro}'] = {
+        'images_per_sec': round(ips, 2),
+        'ms_per_step': round(1000 * dt / ITERS, 1),
+        'compile_s': round(compile_s, 0),
+    }
+
+import json  # noqa: E402
+
+with open(RECORD_PATH, 'w') as f:
+    json.dump(record, f, indent=2)
+print(f'record -> {RECORD_PATH}')

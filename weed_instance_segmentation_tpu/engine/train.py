@@ -286,9 +286,10 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
         )
         train_loader = DataLoader(full_train, batch_size, shuffle=True, collate=fast_collate, **shard_kw)
         val_loader = DataLoader(full_val, batch_size, shuffle=False, collate=fast_collate, **shard_kw)
-        # the test phase post-processes per image on the host, so it reads
-        # the full split (host 0 runs it alone in multi-host mode)
-        test_loader = DataLoader(full_test, batch_size, shuffle=False, collate=collate_fn)
+        # test phase: each host reads 1/P of the split (engine/metrics.py
+        # post-processes locally and merges per-image metric entries)
+        test_loader = DataLoader(full_test, batch_size, shuffle=False, collate=collate_fn,
+                                 **shard_kw)
 
         # 3. model + optimizer + jitted steps
         model, params, model_cfg = build_model(unified_id2label, unified_label2id)
@@ -474,10 +475,10 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
             )
 
         # --- test phase on the best model (reference train.py:238-258) ----
-        # All hosts run the forwards together over the full mesh (each host
-        # reads the full batch from the shared fs, logits are all-gathered);
-        # only host 0 does the per-image post-process + metric bookkeeping
-        # (engine/metrics.py) and writes the result.
+        # All hosts run the forwards together over the full mesh, each
+        # reading only ITS slice of the split and post-processing its own
+        # images; per-image metric entries merge on host 0, which writes
+        # the result (engine/metrics.py).
         start_time = datetime.now()
         best_model_path = os.path.join(output_dir, 'best_model')
         if multihost:
@@ -493,7 +494,7 @@ def train(output_dir: str, metadata: dict, dataset_list: list) -> dict:
             if multihost:
                 best_params = replicate_tree(best_params, mesh)
             test_results = test_with_metrics(
-                forward_fn, best_params, test_loader, mesh=mesh,
+                forward_fn, best_params, test_loader, mesh=mesh, pad_hw=pad_hw,
             )
             if is_main:
                 print_metrics_evaluation(test_results, model_name='Best Model')

@@ -215,6 +215,30 @@ def fetch_tree(tree):
     return jax.tree_util.tree_map(_fetch, tree)
 
 
+def gather_pyobjects(obj):
+    """All-gather one picklable object per process; returns the list in
+    process-index order (every process gets the full list — collective, all
+    processes must call it). Transport is two ``process_allgather``s: the
+    byte lengths, then the max-length-padded pickled payloads. Meant for
+    SMALL host-side state (e.g. per-image metric entries in the distributed
+    test phase) — not arrays, which should ride the mesh."""
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.asarray([len(data)], np.int64), tiled=True
+    )  # (P,)
+    padded = np.zeros((1, int(lens.max())), np.uint8)
+    padded[0, : len(data)] = data
+    payloads = multihost_utils.process_allgather(padded, tiled=True)  # (P, max)
+    return [
+        pickle.loads(payloads[i, : int(lens[i])].tobytes())
+        for i in range(len(lens))
+    ]
+
+
 def _place_tree(tree, shardings):
     """Place every leaf with its sharding; multi-process via per-shard
     callbacks from the host-local copy (no cross-host transfer)."""
