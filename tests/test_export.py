@@ -107,3 +107,40 @@ def test_export_cli_smoke(tmp_path, monkeypatch):
     manifest = json.loads((tmp_path / MANIFEST_NAME).read_text())
     assert manifest['platforms'] == ['tpu', 'cpu']
     assert manifest['model_input_hw'] == [64, 64]
+
+
+def test_emit_masks_false_id_map_only(rng):
+    """emit_masks=False drops the per-instance masks from the response; the
+    remaining fields match the mask-emitting pipeline exactly (the id map
+    is computed identically either way)."""
+    import jax
+
+    _, model, params = _tiny_model()
+    out_hw = (64, 64)
+    raw = jnp.asarray(rng.integers(0, 256, (2, 96, 96, 3), dtype=np.uint8))
+
+    full = jax.jit(make_serving_fn(model, params, out_hw=out_hw, threshold=0.1))(raw)
+    lean = jax.jit(make_serving_fn(
+        model, params, out_hw=out_hw, threshold=0.1, emit_masks=False,
+    ))(raw)
+    assert set(lean) == set(full) - {'masks'}
+    for key in lean:
+        # int/bool fields (id map, labels, validity) must match exactly;
+        # float scores may differ by an ulp — XLA fuses the sigmoid-sum
+        # reduce differently when the masks output isn't materialized
+        got, want = np.asarray(lean[key]), np.asarray(full[key])
+        if got.dtype.kind in 'fc':
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=key)
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=key)
+    # micro-batched lean path agrees too
+    lean_mb = jax.jit(make_serving_fn(
+        model, params, out_hw=out_hw, threshold=0.1, micro_batch=1,
+        emit_masks=False,
+    ))(raw)
+    for key in lean:
+        got, want = np.asarray(lean_mb[key]), np.asarray(lean[key])
+        if got.dtype.kind in 'fc':
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=key)
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=key)

@@ -21,7 +21,12 @@ bit-match. The pass criteria are therefore:
   3. both trajectories actually descend (final < initial).
 
 Env knobs: PT_STEPS (50), PT_POINTS (1024), PT_LR (1e-4), PT_HW (128),
-PT_IMAGES (4), PT_BATCH (2), PT_REL_BAND (0.15), PT_OUT.
+PT_IMAGES (4), PT_BATCH (2), PT_REL_BAND (0.15), PT_OUT,
+PT_DTYPE (float32) — our stack's compute dtype; PT_DTYPE=bfloat16 vs torch
+f32 bounds the mixed-precision drift of the SHIPPING config (VERDICT r4
+#6; use a wider PT_REL_BAND — bf16 adds real rounding on top of sampling
+noise). Both trajectory loops persist a partial record every 10 steps so
+long runs survive crashes.
 """
 
 from __future__ import annotations
@@ -43,6 +48,18 @@ N_IMAGES = int(os.environ.get('PT_IMAGES', '4'))
 BATCH = int(os.environ.get('PT_BATCH', '2'))
 REL_BAND = float(os.environ.get('PT_REL_BAND', '0.15'))
 SMOOTH = int(os.environ.get('PT_SMOOTH', '5'))
+DTYPE = os.environ.get('PT_DTYPE', 'float32')
+
+
+def _flush_partial(tag: str, losses: list) -> None:
+    """Crash-safe incremental curve record (like the overfit gate's)."""
+    out = os.environ.get('PT_OUT')
+    if out and len(losses) % 10 == 0:
+        try:
+            with open(out + '.partial', 'a') as f:
+                f.write(json.dumps({tag: losses[-10:]}) + '\n')
+        except OSError:
+            pass
 
 
 def build_pair(num_labels: int = 2, points: int = POINTS):
@@ -89,7 +106,9 @@ def build_pair(num_labels: int = 2, points: int = POINTS):
         num_queries=10, num_labels=num_labels, train_num_points=points,
     )
     params = convert_hf_state_dict(torch_state_dict_to_numpy(hf), cfg)
-    return hf, Mask2Former(cfg), cfg, params
+    import jax.numpy as jnp
+
+    return hf, Mask2Former(cfg, dtype=jnp.dtype(DTYPE)), cfg, params
 
 
 def load_samples(workdir: str, hw: int, n_images: int) -> list[dict]:
@@ -146,6 +165,7 @@ def torch_trajectory(hf, samples: list[dict], steps: int, lr: float,
         opt.zero_grad()
         losses.append(float(out.loss.detach()))
         print(f'  torch step {step + 1}/{steps}: {losses[-1]:.4f}', flush=True)
+        _flush_partial('torch', losses)
     return losses
 
 
@@ -177,6 +197,7 @@ def ours_trajectory(model, cfg, params, samples: list[dict], steps: int,
         state, loss = train_step(state, dev_batch, rng)
         losses.append(float(loss))
         print(f'  ours step {step + 1}/{steps}: {losses[-1]:.4f}', flush=True)
+        _flush_partial('ours', losses)
     return losses, state
 
 
@@ -302,6 +323,7 @@ def run_study(steps: int = STEPS, lr: float = LR, hw: int = HW,
     record = {
         'steps': steps, 'lr': lr, 'hw': hw, 'n_images': n_images,
         'batch': batch, 'points': POINTS, 'smooth_k': SMOOTH,
+        'ours_dtype': DTYPE, 'torch_dtype': 'float32',
         'rel_band': REL_BAND,
         'matcher_step0': matcher,
         'ours_losses': [round(v, 4) for v in ours],

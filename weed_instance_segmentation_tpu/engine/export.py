@@ -52,7 +52,8 @@ MANIFEST_NAME = 'manifest.json'
 def make_serving_fn(model, params, *, out_hw: tuple[int, int],
                     target_size: tuple[int, int] | None = None,
                     threshold: float = 0.5,
-                    micro_batch: int = 0) -> Callable:
+                    micro_batch: int = 0,
+                    emit_masks: bool = True) -> Callable:
     """(raw uint8 (B, H_in, W_in, 3)) → InstanceSegmentationResult arrays.
 
     ``out_hw`` is the model input resolution after the fused preprocess;
@@ -65,6 +66,12 @@ def make_serving_fn(model, params, *, out_hw: tuple[int, int],
     larger single-dispatch batches spill; the batch-size knee in
     tools/sweep_infer_batch.py), while the serving surface still accepts
     the full request batch. The request batch must divide evenly.
+
+    ``emit_masks=False`` drops the (B, Q, H, W) per-instance binary masks
+    from the response — the int32 id map + segments fully describe
+    non-overlapping output (masks are reconstructible as
+    ``segmentation == id``), and skipping them removes the dominant HBM
+    write of the post-process (processing/postprocess.py with_masks).
     """
     from weed_instance_segmentation_tpu.processing.fused import fused_preprocess
     from weed_instance_segmentation_tpu.processing.postprocess import (
@@ -76,11 +83,14 @@ def make_serving_fn(model, params, *, out_hw: tuple[int, int],
     def one(raw):
         pixel_values, _ = fused_preprocess(raw, out_hw, out_hw)
         out = model.apply({'params': params}, pixel_values, deterministic=True)
-        return post_process_instance_arrays(
+        res = post_process_instance_arrays(
             out.class_queries_logits.astype(jnp.float32),
             out.masks_queries_logits.astype(jnp.float32),
-            tgt, threshold,
-        )
+            tgt, threshold, with_masks=emit_masks,
+        )._asdict()
+        if not emit_masks:
+            res.pop('masks')
+        return res
 
     def serve(raw):
         b = raw.shape[0]
@@ -93,8 +103,8 @@ def make_serving_fn(model, params, *, out_hw: tuple[int, int],
             res = jax.lax.map(one, chunks)
             return jax.tree_util.tree_map(
                 lambda x: x.reshape(b, *x.shape[2:]), res
-            )._asdict()
-        return one(raw)._asdict()
+            )
+        return one(raw)
 
     return serve
 
@@ -111,6 +121,7 @@ def export_serving(
     threshold: float = 0.5,
     platforms: tuple[str, ...] | None = None,
     manifest_extra: dict | None = None,
+    emit_masks: bool = True,
 ) -> str:
     """Serialize the serving pipeline; returns the artifact path.
 
@@ -120,7 +131,8 @@ def export_serving(
     from jax import export as jax_export
 
     serve = make_serving_fn(
-        model, params, out_hw=out_hw, target_size=target_size, threshold=threshold
+        model, params, out_hw=out_hw, target_size=target_size,
+        threshold=threshold, emit_masks=emit_masks,
     )
     spec = jax.ShapeDtypeStruct((batch, *in_hw, 3), jnp.uint8)
     plats = tuple(platforms) if platforms else ('tpu', 'cpu')
@@ -138,7 +150,9 @@ def export_serving(
         'threshold': threshold,
         'platforms': list(plats),
         'jax_version': jax.__version__,
-        'outputs': 'InstanceSegmentationResult fields (batch-leading)',
+        'emit_masks': emit_masks,
+        'outputs': 'InstanceSegmentationResult fields (batch-leading)'
+                   + ('' if emit_masks else ', masks omitted (id map only)'),
         **(manifest_extra or {}),
     }
     with open(os.path.join(out_dir, MANIFEST_NAME), 'w') as f:
@@ -170,6 +184,7 @@ def main() -> None:
     hw_in = int(os.environ.get('WISTPU_EXPORT_HW_IN', '1024'))
     hw = int(os.environ.get('WISTPU_EXPORT_HW', '800'))
     threshold = float(os.environ.get('WISTPU_EXPORT_THRESHOLD', '0.5'))
+    emit_masks = os.environ.get('WISTPU_EXPORT_MASKS', '1') == '1'
     dtype = jnp.dtype(os.environ.get('WISTPU_COMPUTE_DTYPE', 'bfloat16'))
 
     if ckpt:
@@ -187,6 +202,7 @@ def main() -> None:
     artifact = export_serving(
         model, params, out_dir,
         batch=batch, in_hw=(hw_in, hw_in), out_hw=(hw, hw), threshold=threshold,
+        emit_masks=emit_masks,
         manifest_extra={'arch': arch, 'compute_dtype': str(dtype)},
     )
     size_mb = os.path.getsize(artifact) / 1e6
