@@ -40,6 +40,10 @@ HW_IN = int(os.environ.get('BENCH_HW_IN', '1024'))
 ITERS = int(os.environ.get('BENCH_ITERS', '10'))
 ARCH = os.environ.get('BENCH_ARCH', 'swin-large')
 DTYPE = os.environ.get('BENCH_DTYPE', 'bfloat16')
+# SWEEP_EMIT_MASKS=0 drops the (B,Q,H,W) masks output (id-map-only serving,
+# engine/export.py emit_masks) — also shrinks the single compiled program,
+# which matters on remote compilers that crash on the full-masks chain
+EMIT_MASKS = os.environ.get('SWEEP_EMIT_MASKS', '1') == '1'
 
 cfg = config_for_arch(ARCH, num_labels=5)
 model = Mask2Former(cfg, dtype=jnp.dtype(DTYPE))
@@ -47,15 +51,17 @@ params = init_params(model, cfg, image_hw=(128, 128))
 
 record = {
     'arch': ARCH, 'hw': HW, 'hw_in': HW_IN, 'dtype': DTYPE, 'iters': ITERS,
+    'emit_masks': EMIT_MASKS,
     'platform': jax.devices()[0].platform, 'configs': {},
 }
-RECORD_PATH = os.path.join(
+RECORD_PATH = os.environ.get('SWEEP_OUT') or os.path.join(
     os.path.dirname(os.path.abspath(__file__)), 'records', 'serving_sweep.json'
 )
 
 for batch, micro in CONFIGS:
     serve = jax.jit(make_serving_fn(
         model, params, out_hw=(HW, HW), threshold=0.5, micro_batch=micro,
+        emit_masks=EMIT_MASKS,
     ))
 
     def step(raw, jitter):
