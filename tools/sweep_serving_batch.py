@@ -48,6 +48,7 @@ EMIT_MASKS = os.environ.get('SWEEP_EMIT_MASKS', '1') == '1'
 cfg = config_for_arch(ARCH, num_labels=5)
 model = Mask2Former(cfg, dtype=jnp.dtype(DTYPE))
 params = init_params(model, cfg, image_hw=(128, 128))
+params = jax.device_put(params)  # steady arg placement from call 1
 
 record = {
     'arch': ARCH, 'hw': HW, 'hw_in': HW_IN, 'dtype': DTYPE, 'iters': ITERS,
@@ -59,13 +60,22 @@ RECORD_PATH = os.environ.get('SWEEP_OUT') or os.path.join(
 )
 
 for batch, micro in CONFIGS:
-    serve = jax.jit(make_serving_fn(
-        model, params, out_hw=(HW, HW), threshold=0.5, micro_batch=micro,
-        emit_masks=EMIT_MASKS,
-    ))
+    # params as a TRACED ARGUMENT, not a closure: closed-over params become
+    # HLO constants and the remote-compile request then carries the full
+    # 830 MB Swin-L weight blob — measured HTTP 413 "length limit exceeded"
+    # / broken-pipe failures (records/serving_sweep.json, 2026-08-19). The
+    # jax.export artifact path intentionally keeps constants (local
+    # lowering, no compile RPC).
+    def serve(p, raw, micro=micro):
+        return make_serving_fn(
+            model, p, out_hw=(HW, HW), threshold=0.5, micro_batch=micro,
+            emit_masks=EMIT_MASKS,
+        )(raw)
+
+    serve = jax.jit(serve)
 
     def step(raw, jitter):
-        res = serve(raw + jitter)
+        res = serve(params, raw + jitter)
         return res['segmentation'].sum() + res['scores'].sum()
 
     rng = np.random.default_rng(0)
