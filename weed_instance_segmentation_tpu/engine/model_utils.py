@@ -28,12 +28,24 @@ from weed_instance_segmentation_tpu.processing.image_processor import (
 
 def config_for_arch(arch: str, **kwargs) -> Mask2FormerConfig:
     if arch == 'tiny-test':
-        return Mask2FormerConfig.tiny_test(**kwargs)
-    if arch == 'resnet50':
-        return Mask2FormerConfig.resnet50(**kwargs)
-    if arch.startswith('swin-'):
-        return Mask2FormerConfig.swin(arch.split('-', 1)[1], **kwargs)
-    raise ValueError(f'Unknown MODEL_ARCH {arch!r}')
+        cfg = Mask2FormerConfig.tiny_test(**kwargs)
+    elif arch == 'resnet50':
+        cfg = Mask2FormerConfig.resnet50(**kwargs)
+    elif arch.startswith('swin-'):
+        cfg = Mask2FormerConfig.swin(arch.split('-', 1)[1], **kwargs)
+    else:
+        raise ValueError(f'Unknown MODEL_ARCH {arch!r}')
+    # WISTPU_ENCODER_POINTS: opt-in MSDA sampling-point reduction for
+    # from-scratch configs. The HF reference samples 4 points/level
+    # (HF:modeling_mask2former.py:799-838); P=2 halves the encoder's
+    # gather rows (−33% MSDA fwd+bwd on v5e at bench shapes) and clears
+    # the overfit-gate accuracy bars (tools/records/ab_msda_points.json).
+    # Incompatible with 4-point checkpoints (sampling_offsets shapes) —
+    # never set when fine-tuning converted HF weights.
+    points = os.environ.get('WISTPU_ENCODER_POINTS')
+    if points:
+        cfg.encoder_n_points = int(points)
+    return cfg
 
 
 def init_params(model: Mask2Former, cfg: Mask2FormerConfig, seed: int = 0,
