@@ -184,3 +184,25 @@ def test_arrays_match_naive_oracle_exactly(rng, target_size):
         for j in range(len(valid)):
             if valid[j]:
                 assert np.asarray(res.masks[i][j]).shape == target_size
+
+
+def test_resize_modes_agree(rng, monkeypatch):
+    """Ledger D13: the default separable-matmul 384² upsample must produce
+    the same kept set / id map as the exact-HF gather form, with scores
+    within the matmul accumulation tolerance (≤2e-6 on logit scale)."""
+    class_logits, mask_logits = _random_outputs(rng, b=2, q=12, c=3, h=20, w=20)
+    results = {}
+    for mode in ('matmul', 'gather'):
+        monkeypatch.setenv('WISTPU_POSTPROC_RESIZE', mode)
+        results[mode] = post_process_instance_arrays(
+            jnp.asarray(class_logits), jnp.asarray(mask_logits), (37, 53), 0.3
+        )
+    m, g = results['matmul'], results['gather']
+    np.testing.assert_array_equal(np.asarray(m.valid), np.asarray(g.valid))
+    np.testing.assert_array_equal(np.asarray(m.segmentation),
+                                  np.asarray(g.segmentation))
+    np.testing.assert_array_equal(np.asarray(m.segment_ids),
+                                  np.asarray(g.segment_ids))
+    np.testing.assert_allclose(np.asarray(m.scores), np.asarray(g.scores),
+                               atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(m.masks), np.asarray(g.masks))

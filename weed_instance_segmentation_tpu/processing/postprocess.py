@@ -23,11 +23,15 @@ sequential overwrite); segments_info becomes fixed-size arrays + a
 validity mask instead of a Python list, so the whole function jits.
 Ordering note: HF uses ``topk(sorted=False)`` (order implementation-
 defined, in practice sorted); we use ``lax.top_k`` (sorted descending) —
-documented tie-ordering deviation per SURVEY.md §7.3.5.
+documented tie-ordering deviation per SURVEY.md §7.3.5. Resize note: the
+default 384² upsample is the separable-MATMUL bilinear (ledger D13,
+≤2e-6 vs the gather form); ``WISTPU_POSTPROC_RESIZE=gather`` restores
+exact HF arithmetic.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -36,10 +40,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from weed_instance_segmentation_tpu.ops.resize import (
-    interpolate_bilinear, interpolate_nearest,
+    interpolate_bilinear, interpolate_bilinear_mm, interpolate_nearest,
 )
 
 SCORE_RESOLUTION = (384, 384)  # HF:1122 — hard-coded for all models
+
+
+def _upsample(mask_pred: jnp.ndarray, resize_mode: str) -> jnp.ndarray:
+    """200²→384² logit upsample. Default ``'matmul'``: separable-matmul
+    bilinear (MXU; 11.6 → 5.7 ms per b4 batch,
+    tools/profile_postprocess.py) — same taps/weights as the gather form
+    but not bit-identical (matmul accumulation; ≤2e-6 abs on logits, 0
+    binarization flips measured; deviation ledger entry D13).
+    ``WISTPU_POSTPROC_RESIZE=gather`` restores the exact HF:1122-1124
+    arithmetic."""
+    if resize_mode == 'gather':
+        return interpolate_bilinear(mask_pred, SCORE_RESOLUTION)
+    return interpolate_bilinear_mm(mask_pred, SCORE_RESOLUTION)
 
 
 class InstanceSegmentationResult(NamedTuple):
@@ -55,7 +72,6 @@ class InstanceSegmentationResult(NamedTuple):
     masks: jnp.ndarray  # (Q, H, W) bool binary masks at target size
 
 
-@partial(jax.jit, static_argnames=('target_size', 'threshold', 'with_masks'))
 def post_process_instance_arrays(
     class_queries_logits: jnp.ndarray,
     masks_queries_logits: jnp.ndarray,
@@ -66,8 +82,31 @@ def post_process_instance_arrays(
     """Batched jit post-processing. Inputs (B, Q, C+1) and (B, Q, Hm, Wm);
     returns batch-leading fixed-size arrays.
 
-    Bit-identical to the HF sequence but restructured for HBM (the naive
-    transcription moved ~900 MB/image at 800²; VERDICT r3 #2):
+    The resize mode env knob is resolved HERE, outside the jit cache, so
+    flipping ``WISTPU_POSTPROC_RESIZE`` between calls retraces instead of
+    silently reusing the first compile (the ADVICE-r3 import-time-env rule).
+    """
+    resize_mode = os.environ.get('WISTPU_POSTPROC_RESIZE', 'matmul')
+    return _post_process_impl(
+        class_queries_logits, masks_queries_logits, target_size,
+        threshold, with_masks, resize_mode,
+    )
+
+
+@partial(jax.jit, static_argnames=('target_size', 'threshold', 'with_masks',
+                                   'resize_mode'))
+def _post_process_impl(
+    class_queries_logits: jnp.ndarray,
+    masks_queries_logits: jnp.ndarray,
+    target_size: tuple[int, int],
+    threshold: float = 0.5,
+    with_masks: bool = True,
+    resize_mode: str = 'matmul',
+) -> InstanceSegmentationResult:
+    """HF-sequence post-processing restructured for HBM (the naive
+    transcription moved ~900 MB/image at 800²; VERDICT r3 #2). Bit-identical
+    to HF with ``resize_mode='gather'``; the default ``'matmul'`` upsample
+    deviates ≤2e-6 on logits (deviation ledger D13, 2× faster on the MXU):
 
     - everything runs at the 384² scoring resolution; the target-size
       nearest resize (HF:1156-1160) is a floor gather, which commutes with
@@ -95,13 +134,18 @@ def post_process_instance_arrays(
         num_queries, num_classes_p1 = mask_cls.shape
         num_classes = num_classes_p1 - 1
 
-        up = interpolate_bilinear(mask_pred, SCORE_RESOLUTION)  # (Q,384,384)
+        up = _upsample(mask_pred, resize_mode)  # (Q, 384, 384)
         bin_orig = up > 0  # (Q, 384, 384) bool, original query order
         binf = bin_orig.astype(jnp.float32)
         mask_scores_q = (jax.nn.sigmoid(up) * binf).sum((-1, -2)) / (
             binf.sum((-1, -2)) + 1e-6
         )  # (Q,) per original query (slots sharing a query dedup for free)
-        covers_target_q = bin_orig[:, hit_rows][:, :, hit_cols].any((-1, -2))
+        if len(hit_rows) == sh and len(hit_cols) == sw:
+            # upsampling: every 384² source pixel is sampled — the slice is
+            # an identity gather XLA won't always elide; skip it
+            covers_target_q = bin_orig.any((-1, -2))
+        else:
+            covers_target_q = bin_orig[:, hit_rows][:, :, hit_cols].any((-1, -2))
 
         scores = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]  # (Q, C)
         flat_scores = scores.reshape(-1)
