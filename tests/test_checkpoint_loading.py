@@ -118,3 +118,26 @@ def test_roundtrip_through_our_format(hf_checkpoint_dir, tmp_path, rng):
     assert cfg2.num_labels == cfg.num_labels
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resolve_model_path_latest(tmp_path, monkeypatch):
+    """'latest' in a model id resolves to the newest run dir (name order ==
+    time order for YYYY-MM-DD_HH-MM-SS); explicit ids pass through, and a
+    literal 'latest' directory wins over resolution."""
+    from weed_instance_segmentation_tpu import config
+    from weed_instance_segmentation_tpu.engine.model_utils import resolve_model_path
+
+    monkeypatch.setattr(config, 'MODELS_OUTPUT_DIR', str(tmp_path))
+    base = tmp_path / 'mask2former_fine_tuned'
+    for run in ('2026-01-02_00-00-00', '2026-01-10_12-30-00'):
+        (base / run / 'best_model').mkdir(parents=True)
+
+    got = resolve_model_path('mask2former_fine_tuned/latest/best_model/')
+    assert got.rstrip('/') == str(base / '2026-01-10_12-30-00' / 'best_model')
+
+    explicit = 'mask2former_fine_tuned/2026-01-02_00-00-00/best_model'
+    assert resolve_model_path(explicit) == str(tmp_path / explicit)
+
+    (base / 'latest' / 'best_model').mkdir(parents=True)
+    got = resolve_model_path('mask2former_fine_tuned/latest/best_model/')
+    assert got.rstrip('/') == str(base / 'latest' / 'best_model')

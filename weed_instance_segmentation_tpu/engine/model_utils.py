@@ -107,10 +107,33 @@ def build_model(
     return model, init_params(model, cfg, seed), cfg
 
 
+def resolve_model_path(model_id: str) -> str:
+    """MODELS_OUTPUT_DIR/<model_id>, with any ``latest`` path component
+    replaced by the lexicographically newest existing subdirectory (run
+    dirs are ``YYYY-MM-DD_HH-MM-SS``, so name order == time order).
+
+    The reference hard-codes a specific run timestamp in each driver's
+    MODEL_ID (reference test.py:11, inference.py:13); this repo's drivers
+    default to ``mask2former_fine_tuned/latest/best_model/`` so the env
+    knob is optional — ``latest`` must therefore actually resolve."""
+    path = os.path.join(config.MODELS_OUTPUT_DIR, model_id)
+    parts = path.split(os.sep)
+    for i, part in enumerate(parts):
+        if part != 'latest' or os.path.isdir(os.sep.join(parts[: i + 1])):
+            continue
+        parent = os.sep.join(parts[:i]) or os.sep
+        runs = sorted(d for d in (os.listdir(parent) if os.path.isdir(parent) else [])
+                      if os.path.isdir(os.path.join(parent, d)))
+        if runs:
+            parts[i] = runs[-1]
+    return os.sep.join(parts)
+
+
 def load_model(model_id: str):
     """(model, params, cfg, processor) from MODELS_OUTPUT_DIR/<model_id>
-    (reference model_utils.py:10-17)."""
-    path = os.path.join(config.MODELS_OUTPUT_DIR, model_id)
+    (reference model_utils.py:10-17); a ``latest`` component resolves to
+    the newest run (resolve_model_path)."""
+    path = resolve_model_path(model_id)
     cfg, params = ckpt.load_pretrained(path)
     processor = Mask2FormerImageProcessor.from_pretrained(path)
     return Mask2Former(cfg, dtype=_compute_dtype()), params, cfg, processor

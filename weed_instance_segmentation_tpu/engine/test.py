@@ -27,7 +27,9 @@ MODEL_ID = os.environ.get('WISTPU_MODEL_ID', 'mask2former_fine_tuned/latest/best
 
 
 def test_model(model_id: str) -> dict | None:
-    model_path = os.path.join(config.MODELS_OUTPUT_DIR, model_id)
+    from weed_instance_segmentation_tpu.engine.model_utils import resolve_model_path
+
+    model_path = resolve_model_path(model_id)
     if not os.path.exists(model_path):
         print(f'Model not found at {model_path}')
         return None
