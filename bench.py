@@ -82,22 +82,28 @@ def measure_infer() -> float:
     @jax.jit
     def reduce_out(out):
         # scalar feedback serializes iterations and defeats any async
-        # enqueue-without-execute behavior in tunneled backends
-        return out.class_queries_logits.mean() + out.masks_queries_logits.mean()
-
-    @jax.jit
-    def post_reduce(cls_logits, msk_logits):
-        # full device post-process (384² scoring, top-k, id map at target
-        # size); reduced to a scalar so only the id-map/score work remains
-        # after DCE — the (B,Q,H,W) binary-mask output is not a serving
-        # deliverable here (the id map is) and would dominate HBM traffic
-        res = post_process_instance_arrays(
-            cls_logits, msk_logits, (HW, HW), 0.5, with_masks=False
-        )
-        return (
-            res.segmentation.sum(dtype=jnp.int32).astype(jnp.float32)
-            + res.scores.sum()
-        )
+        # enqueue-without-execute behavior in tunneled backends. The
+        # post-process reduce lives in the SAME dispatch: each jitted call
+        # through the tunnel costs ~2 ms fixed (tools/profile_postprocess.py
+        # score_chain: 1.9 ms for KB-scale tensors), so the scalar reduce and
+        # the post-process must not pay that twice.
+        r = out.class_queries_logits.mean() + out.masks_queries_logits.mean()
+        if postproc:
+            # full device post-process (384² scoring, top-k, id map at
+            # target size); reduced to a scalar so only the id-map/score
+            # work remains after DCE — the (B,Q,H,W) binary-mask output is
+            # not a serving deliverable here (the id map is) and would
+            # dominate HBM traffic
+            res = post_process_instance_arrays(
+                out.class_queries_logits, out.masks_queries_logits,
+                (HW, HW), 0.5, with_masks=False,
+            )
+            r = (
+                r
+                + res.segmentation.sum(dtype=jnp.int32).astype(jnp.float32)
+                + res.scores.sum()
+            )
+        return r
 
     def step(params, raw, jitter):
         # preprocess and forward as two dispatches: inlining the uint8
@@ -105,10 +111,7 @@ def measure_infer() -> float:
         # pathological (>9 min compile vs ~2 s + ~40 s separately)
         pixel_values, _ = fused_preprocess(raw + jitter, (HW, HW), (HW, HW))
         out = forward(params, pixel_values)
-        r = reduce_out(out)
-        if postproc:
-            r = r + post_reduce(out.class_queries_logits, out.masks_queries_logits)
-        return r
+        return reduce_out(out)
 
     float(step(params, raw, jnp.uint8(0)))  # warmup / compile
 
