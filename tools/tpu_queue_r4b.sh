@@ -77,3 +77,7 @@ run_job parity_bf16 5400 env PT_DTYPE=bfloat16 PT_STEPS=200 PT_REL_BAND=0.30 \
 run_job train_b4_retry 3000 env BENCH_MODE=train BENCH_TRAIN_BATCH=4 BENCH_TRAIN_ITERS=4 python bench.py
 run_job remat_off_retry 3000 env BENCH_MODE=train BENCH_REMAT=0 BENCH_TRAIN_ITERS=4 python bench.py
 log "r4b queue done"
+# 5. post-varsort train-step bucket profile at the bench config (VERDICT #4):
+#    the round-4 commit title claims it but no record file landed.
+run_job train_buckets 3600 python tools/profile_train_buckets.py
+log "r4b queue really done"
