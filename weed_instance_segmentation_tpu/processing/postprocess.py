@@ -131,9 +131,6 @@ def _post_process_impl(
     hit_cols = np.unique(xs)  # all of them when upsampling, a subset when not
 
     def one(mask_cls, mask_pred):
-        num_queries, num_classes_p1 = mask_cls.shape
-        num_classes = num_classes_p1 - 1
-
         up = _upsample(mask_pred, resize_mode)  # (Q, 384, 384)
         bin_orig = up > 0  # (Q, 384, 384) bool, original query order
         binf = bin_orig.astype(jnp.float32)
@@ -146,6 +143,22 @@ def _post_process_impl(
             covers_target_q = bin_orig.any((-1, -2))
         else:
             covers_target_q = bin_orig[:, hit_rows][:, :, hit_cols].any((-1, -2))
+        return _finish(mask_cls, mask_scores_q, covers_target_q, bin_orig)
+
+    def one_fused(mask_cls, sig_sum, pos_cnt, bin_i8):
+        # kernel already reduced sigmoid-sum / positive-count per query;
+        # only the int8 bins (4× smaller than the f32 logits) are re-read
+        bin_orig = bin_i8 != 0
+        mask_scores_q = sig_sum / (pos_cnt + 1e-6)
+        if len(hit_rows) == sh and len(hit_cols) == sw:
+            covers_target_q = pos_cnt > 0
+        else:
+            covers_target_q = bin_orig[:, hit_rows][:, :, hit_cols].any((-1, -2))
+        return _finish(mask_cls, mask_scores_q, covers_target_q, bin_orig)
+
+    def _finish(mask_cls, mask_scores_q, covers_target_q, bin_orig):
+        num_queries, num_classes_p1 = mask_cls.shape
+        num_classes = num_classes_p1 - 1
 
         scores = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]  # (Q, C)
         flat_scores = scores.reshape(-1)
@@ -184,6 +197,18 @@ def _post_process_impl(
             masks=bin_orig[query_indices][:, ys][:, :, xs] if with_masks else None,
         )
 
+    if resize_mode == 'fused':
+        from weed_instance_segmentation_tpu.ops.postprocess_kernel import (
+            fused_upsample_stats, pick_q_tile,
+        )
+
+        sig_sum, pos_cnt, bin_i8 = fused_upsample_stats(
+            masks_queries_logits, SCORE_RESOLUTION,
+            q_tile=pick_q_tile(masks_queries_logits.shape[1]),
+            interpret=jax.default_backend() == 'cpu',
+        )
+        return jax.vmap(one_fused)(class_queries_logits, sig_sum,
+                                   pos_cnt, bin_i8)
     return jax.vmap(one)(class_queries_logits, masks_queries_logits)
 
 
