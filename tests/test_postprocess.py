@@ -192,17 +192,23 @@ def test_resize_modes_agree(rng, monkeypatch):
     within the matmul accumulation tolerance (≤2e-6 on logit scale)."""
     class_logits, mask_logits = _random_outputs(rng, b=2, q=12, c=3, h=20, w=20)
     results = {}
-    for mode in ('matmul', 'gather'):
+    # 'fused' is the Pallas single-pass kernel (ops/postprocess_kernel.py);
+    # on CPU it runs under the Pallas interpreter. Its two HIGHEST-precision
+    # rank-2 dots use the same tap matrices as 'matmul', so it is held to
+    # the same ≤2e-6 score band and exact kept-set/id-map equality.
+    for mode in ('matmul', 'gather', 'fused'):
         monkeypatch.setenv('WISTPU_POSTPROC_RESIZE', mode)
         results[mode] = post_process_instance_arrays(
             jnp.asarray(class_logits), jnp.asarray(mask_logits), (37, 53), 0.3
         )
-    m, g = results['matmul'], results['gather']
-    np.testing.assert_array_equal(np.asarray(m.valid), np.asarray(g.valid))
-    np.testing.assert_array_equal(np.asarray(m.segmentation),
-                                  np.asarray(g.segmentation))
-    np.testing.assert_array_equal(np.asarray(m.segment_ids),
-                                  np.asarray(g.segment_ids))
-    np.testing.assert_allclose(np.asarray(m.scores), np.asarray(g.scores),
-                               atol=2e-6)
-    np.testing.assert_array_equal(np.asarray(m.masks), np.asarray(g.masks))
+    m = results['matmul']
+    for other in ('gather', 'fused'):
+        g = results[other]
+        np.testing.assert_array_equal(np.asarray(m.valid), np.asarray(g.valid))
+        np.testing.assert_array_equal(np.asarray(m.segmentation),
+                                      np.asarray(g.segmentation))
+        np.testing.assert_array_equal(np.asarray(m.segment_ids),
+                                      np.asarray(g.segment_ids))
+        np.testing.assert_allclose(np.asarray(m.scores), np.asarray(g.scores),
+                                   atol=2e-6)
+        np.testing.assert_array_equal(np.asarray(m.masks), np.asarray(g.masks))

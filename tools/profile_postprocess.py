@@ -93,6 +93,27 @@ def upsample_mm(cls, msk, acc):
     return acc + ms.sum()
 
 
+def full_fused(cls, msk, acc):
+    os.environ['WISTPU_POSTPROC_RESIZE'] = 'fused'
+    try:
+        res = post_process_instance_arrays(cls, msk, (HW, HW), 0.5, with_masks=False)
+    finally:
+        os.environ.pop('WISTPU_POSTPROC_RESIZE', None)
+    return acc + res.segmentation.sum(dtype=jnp.int32).astype(jnp.float32) + res.scores.sum()
+
+
+def fused_stats(cls, msk, acc):
+    from weed_instance_segmentation_tpu.ops.postprocess_kernel import (
+        fused_upsample_stats, pick_q_tile,
+    )
+    sig_sum, pos_cnt, bin_i8 = fused_upsample_stats(
+        msk, SCORE_RESOLUTION, q_tile=pick_q_tile(msk.shape[1]),
+        interpret=jax.default_backend() == 'cpu',
+    )
+    return acc + sig_sum.sum() + pos_cnt.sum() \
+        + bin_i8.sum(dtype=jnp.int32).astype(jnp.float32)
+
+
 def score_chain(cls, msk, acc):
     scores = jax.nn.softmax(cls, axis=-1)[..., :-1]
     flat = scores.reshape(B, -1)
@@ -123,6 +144,8 @@ def overwrite(cls, msk, acc):
 if __name__ == '__main__':
     print(f'platform={jax.devices()[0].platform} B={B} HW={HW} iters={ITERS}')
     timeit('full', full, cls, msk)
+    timeit('full(fused pallas)', full_fused, cls, msk)
+    timeit('fused_stats kernel', fused_stats, cls, msk)
     timeit('upsample(gather)', upsample, cls, msk)
     timeit('upsample(matmul)', upsample_mm, cls, msk)
     timeit('score_chain', score_chain, cls, msk)
