@@ -354,3 +354,41 @@ def test_uncertainty_varsort_matches_topk(rng):
         assert bool((via_topk == via_varsort).all()), (
             f'varsort != topk (tie_quantize={tie_quantize})'
         )
+
+def test_env_knobs_read_at_trace_time(rng, monkeypatch):
+    """ADVICE r4 / VERDICT r5 #7: WISTPU_PRED_SAMPLER / WISTPU_UNCERTAIN
+    must follow the env-read-at-use rule — flipping the env var AFTER the
+    module is imported changes which branch the next trace takes (an
+    import-time binding would silently ignore the flip)."""
+    from weed_instance_segmentation_tpu.losses import criterion
+
+    monkeypatch.setenv('WISTPU_PRED_SAMPLER', 'gather')
+    assert criterion._pred_sampler() == 'gather'
+    monkeypatch.setenv('WISTPU_PRED_SAMPLER', 'einsum')
+    assert criterion._pred_sampler() == 'einsum'
+    monkeypatch.setenv('WISTPU_UNCERTAIN', 'topk')
+    assert criterion._uncertain_select() == 'topk'
+    monkeypatch.delenv('WISTPU_UNCERTAIN')
+    assert criterion._uncertain_select() == 'varsort'
+
+    # and the knob actually steers the traced computation: the two sampler
+    # branches emit different jaxprs for the same inputs
+    pred = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(size=(2, 16, 2)), jnp.float32)
+
+    # a FRESH function per setting: make_jaxpr shares jit's trace cache
+    # (keyed on function identity + avals), so re-tracing the same object
+    # would return the first trace — the documented "a cached compile keeps
+    # the value it was traced with" semantics, not a knob failure
+    def make_sample():
+        def sample(p, c):
+            if criterion._pred_sampler() == 'einsum':
+                return criterion._sample_points_einsum(p, c)
+            return criterion._sample_points_batch(p, c)
+        return sample
+
+    monkeypatch.setenv('WISTPU_PRED_SAMPLER', 'einsum')
+    jaxpr_einsum = str(jax.make_jaxpr(make_sample())(pred, coords))
+    monkeypatch.setenv('WISTPU_PRED_SAMPLER', 'gather')
+    jaxpr_gather = str(jax.make_jaxpr(make_sample())(pred, coords))
+    assert jaxpr_einsum != jaxpr_gather

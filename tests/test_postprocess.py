@@ -201,6 +201,12 @@ def test_resize_modes_agree(rng, monkeypatch):
         results[mode] = post_process_instance_arrays(
             jnp.asarray(class_logits), jnp.asarray(mask_logits), (37, 53), 0.3
         )
+    # Exact kept-set / id-map / mask equality is a CPU-interpreter bar
+    # (ADVICE r4): 'matmul' sums the upsample in one einsum while 'fused'
+    # runs two sequential rank-2 dots, so a logit landing exactly on 0 after
+    # a different f32 summation order could flip a bin on real hardware.
+    # The seeded CPU CI has no such ties; off-CPU this test would need a
+    # measured flip budget instead of array_equal.
     m = results['matmul']
     for other in ('gather', 'fused'):
         g = results[other]

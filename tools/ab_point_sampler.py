@@ -4,7 +4,7 @@ matmuls — see losses/criterion.py::_sample_points_einsum).
 
 Times jax.grad of total_loss wrt ALL mask/class logits (main + 10 aux) at
 the bench config's decoder shapes. The sampler is selected by
-WISTPU_PRED_SAMPLER (read at criterion import) — run once per setting:
+WISTPU_PRED_SAMPLER (read at trace time) — run once per setting:
 
     WISTPU_PRED_SAMPLER=gather python tools/ab_point_sampler.py
     WISTPU_PRED_SAMPLER=einsum python tools/ab_point_sampler.py

@@ -94,11 +94,15 @@ def upsample_mm(cls, msk, acc):
 
 
 def full_fused(cls, msk, acc):
+    prev = os.environ.get('WISTPU_POSTPROC_RESIZE')
     os.environ['WISTPU_POSTPROC_RESIZE'] = 'fused'
     try:
         res = post_process_instance_arrays(cls, msk, (HW, HW), 0.5, with_masks=False)
     finally:
-        os.environ.pop('WISTPU_POSTPROC_RESIZE', None)
+        if prev is None:
+            os.environ.pop('WISTPU_POSTPROC_RESIZE', None)
+        else:
+            os.environ['WISTPU_POSTPROC_RESIZE'] = prev
     return acc + res.segmentation.sum(dtype=jnp.int32).astype(jnp.float32) + res.scores.sum()
 
 
@@ -108,7 +112,7 @@ def fused_stats(cls, msk, acc):
     )
     sig_sum, pos_cnt, bin_i8 = fused_upsample_stats(
         msk, SCORE_RESOLUTION, q_tile=pick_q_tile(msk.shape[1]),
-        interpret=jax.default_backend() == 'cpu',
+        interpret=jax.default_backend() != 'tpu',
     )
     return acc + sig_sum.sum() + pos_cnt.sum() \
         + bin_i8.sum(dtype=jnp.int32).astype(jnp.float32)

@@ -46,11 +46,16 @@ import jax.numpy as jnp
 from weed_instance_segmentation_tpu.ops.grid_sample import grid_sample_bilinear
 from weed_instance_segmentation_tpu.ops.lap import linear_sum_assignment
 
-# Pred-point sampler for the final losses: 'einsum' (default — backward is
-# MXU matmuls; measured A/B in tools/ab_point_sampler.py) or 'gather' (the
-# flat-table form, backward is a scatter-add). Read once at import; the
-# jitted step traces whichever is active.
-_PRED_SAMPLER = os.environ.get('WISTPU_PRED_SAMPLER', 'einsum')
+def _pred_sampler() -> str:
+    """Pred-point sampler for the final losses: 'einsum' (default —
+    backward is MXU matmuls; measured A/B in tools/ab_point_sampler.py) or
+    'gather' (the flat-table form, backward is a scatter-add).
+
+    Read at TRACE time (the env-read-at-use rule, ADVICE r3/r4): each fresh
+    jit trace of the loss picks up the current ``WISTPU_PRED_SAMPLER``. An
+    already-compiled step keeps the value it was traced with — build a new
+    step (or clear the jit cache) after flipping the knob."""
+    return os.environ.get('WISTPU_PRED_SAMPLER', 'einsum')
 
 
 def pad_targets(
@@ -304,7 +309,11 @@ def hungarian_match(
     return jax.vmap(linear_sum_assignment)(cost)
 
 
-_UNCERTAIN_SELECT = os.environ.get('WISTPU_UNCERTAIN', 'varsort')
+def _uncertain_select() -> str:
+    """Uncertain-point selection: 'varsort' (default) or 'topk'. Read at
+    TRACE time like ``_pred_sampler`` — flipping ``WISTPU_UNCERTAIN`` takes
+    effect on the next trace, not on a cached compile."""
+    return os.environ.get('WISTPU_UNCERTAIN', 'varsort')
 
 
 def _uncertainty_points(
@@ -342,7 +351,7 @@ def _uncertainty_points(
     coords = jax.random.uniform(r1, (n, num_sampled, 2))
 
     point_logits = _sample_points_batch(pred_masks, coords)  # (N, num_sampled)
-    if _UNCERTAIN_SELECT == 'topk':
+    if _uncertain_select() == 'topk':
         uncertainty = -jnp.abs(point_logits)  # (N, num_sampled)
         _, idx = jax.lax.top_k(uncertainty, num_uncertain)
         picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
@@ -450,7 +459,7 @@ def mask2former_loss(
     # pred needs gradients → einsum sampler (matmul backward, no scatter);
     # targets are gather-only (stop-gradient) and at full resolution, where
     # the flat-table gather wins (weight matrices scale with H+W)
-    if _PRED_SAMPLER == 'einsum':
+    if _pred_sampler() == 'einsum':
         point_logits = _sample_points_einsum(pred, coords)
     else:
         point_logits = _sample_points_batch(pred, coords)

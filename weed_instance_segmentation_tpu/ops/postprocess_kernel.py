@@ -44,13 +44,17 @@ from weed_instance_segmentation_tpu.ops.resize import bilinear_resize_matrix
 
 
 def _kernel(msk_ref, wy_ref, wx_ref, sig_ref, cnt_ref, bin_ref):
-    # sig/cnt blocks are the WHOLE (B, Q) array (TPU lowering requires the
-    # last two block dims divisible by (8, 128) or equal to the array
-    # dims — (1, QT) and (1, Q) both fail the second-to-last rule) and are
-    # revisited across every grid step; each step writes its (b, q-slice).
+    # sig/cnt get one (1, 1, 8, 128) block PER grid step, addressed by the
+    # BlockSpec index_map — in-kernel store indices are fully static.
+    # Mosaic rejects dynamic vector stores unless every index is provably
+    # tile-aligned: a ds(tile*qt, qt) lane store fails ("cannot statically
+    # prove that index in dimension 1 is a multiple of 128") and even with
+    # 128-aligned lanes the dynamic sublane index program_id(0) fails
+    # ("dynamic store with unaligned indices") — both found on chip,
+    # round 5. Per-step output blocks route the offsets through the grid
+    # machinery instead. The qt per-query scalars are padded to a full
+    # (8, 128) register tile; the wrapper slices [..., 0, :qt] afterwards.
     qt = bin_ref.shape[1]
-    bi = pl.program_id(0)
-    qs = pl.multiple_of(pl.program_id(1) * qt, qt)
     wy = wy_ref[:]    # (SH, Hm) f32
     wx = wx_ref[:]    # (SW, Wm) f32
     # Per-query 2D matmuls: Mosaic's MXU lowering wants rank-2 dots (the
@@ -73,8 +77,11 @@ def _kernel(msk_ref, wy_ref, wx_ref, sig_ref, cnt_ref, bin_ref):
         sig_parts.append(jnp.sum(jnp.where(pos_q, jax.nn.sigmoid(up_q), 0.0)))
         cnt_parts.append(jnp.sum(pos_q.astype(jnp.float32)))
         bin_ref[0, qi] = pos_q.astype(jnp.int8)
-    sig_ref[bi, pl.ds(qs, qt)] = jnp.stack(sig_parts)
-    cnt_ref[bi, pl.ds(qs, qt)] = jnp.stack(cnt_parts)
+    pad = jnp.zeros((128 - qt,), jnp.float32)
+    sig_row = jnp.concatenate([jnp.stack(sig_parts), pad])  # (128,)
+    cnt_row = jnp.concatenate([jnp.stack(cnt_parts), pad])
+    sig_ref[0, 0] = jnp.broadcast_to(sig_row[None, :], (8, 128))
+    cnt_ref[0, 0] = jnp.broadcast_to(cnt_row[None, :], (8, 128))
 
 
 @functools.partial(jax.jit, static_argnames=('score_hw', 'q_tile', 'interpret'))
@@ -95,30 +102,36 @@ def fused_upsample_stats(
     sh, sw = score_hw
     if q % q_tile:
         raise ValueError(f'q_tile {q_tile} must divide Q {q}')
+    n_tiles = q // q_tile
     mask_logits = mask_logits.astype(jnp.float32)
     wy = jnp.asarray(bilinear_resize_matrix(hm, sh))
     wx = jnp.asarray(bilinear_resize_matrix(wm, sw))
 
-    return pl.pallas_call(
+    sig_pad, cnt_pad, bin_i8 = pl.pallas_call(
         _kernel,
-        grid=(b, q // q_tile),
+        grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, q_tile, hm, wm), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((sh, hm), lambda i, j: (0, 0)),
             pl.BlockSpec((sw, wm), lambda i, j: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((b, q), lambda i, j: (0, 0)),
-            pl.BlockSpec((b, q), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, q_tile, sh, sw), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, q), jnp.float32),
-            jax.ShapeDtypeStruct((b, q), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((b, q, sh, sw), jnp.int8),
         ],
         interpret=interpret,
     )(mask_logits, wy, wx)
+    # un-pad the (8, 128) register tiles back to (B, Q) — see _kernel's
+    # store comment (row 0 carries the data, lanes :q_tile are live)
+    sig = sig_pad[:, :, 0, :q_tile].reshape(b, q)
+    cnt = cnt_pad[:, :, 0, :q_tile].reshape(b, q)
+    return sig, cnt, bin_i8
 
 
 def pick_q_tile(q: int) -> int:

@@ -205,7 +205,9 @@ def _post_process_impl(
         sig_sum, pos_cnt, bin_i8 = fused_upsample_stats(
             masks_queries_logits, SCORE_RESOLUTION,
             q_tile=pick_q_tile(masks_queries_logits.shape[1]),
-            interpret=jax.default_backend() == 'cpu',
+            # Mosaic lowering exists only on TPU; every other backend
+            # (cpu, gpu) falls back to the Pallas interpreter (ADVICE r4)
+            interpret=jax.default_backend() != 'tpu',
         )
         return jax.vmap(one_fused)(class_queries_logits, sig_sum,
                                    pos_cnt, bin_i8)
