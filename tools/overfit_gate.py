@@ -67,11 +67,14 @@ ID2LABEL = {v: k for k, v in LABEL2ID.items()}
 CLASS_COLOR = {'Sorghum': (40, 200, 60), 'BLweed': (200, 50, 40)}
 
 
-def make_fixture(root: str, n: int = N_IMAGES, hw: int = HW, seed: int = 7) -> None:
+def make_fixture(root: str, n: int = N_IMAGES, hw: int = HW, seed: int = 7,
+                 n_val: int = 2, n_test: int = 2) -> None:
     """Sorghum-format fixture (VGG JSON polygons) whose polygons are VISIBLE:
     each instance region is filled with its class color + per-pixel noise on
-    a gray noisy background. Train/Validate/Test splits all present (the
-    gate trains and evaluates on Train)."""
+    a gray noisy background. Train/Validate/Test splits all present and
+    DISJOINT (one rng sequence; every image is a fresh draw) — the overfit
+    gate trains and evaluates on Train, the generalization gate
+    (tools/generalization_gate.py) sizes val/test up and holds them out."""
     from PIL import Image, ImageDraw
 
     rng = np.random.default_rng(seed)
@@ -81,7 +84,7 @@ def make_fixture(root: str, n: int = N_IMAGES, hw: int = HW, seed: int = 7) -> N
         ('Validate', 'ValidateSorghumWeed_json.json'),
         ('Test', 'TestSorghumWeed_json.json'),
     ):
-        n_split = n if split == 'Train' else 2
+        n_split = {'Train': n, 'Validate': n_val, 'Test': n_test}[split]
         img_dir = os.path.join(root, split)
         os.makedirs(img_dir, exist_ok=True)
         entries = {}

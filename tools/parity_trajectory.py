@@ -49,6 +49,11 @@ BATCH = int(os.environ.get('PT_BATCH', '2'))
 REL_BAND = float(os.environ.get('PT_REL_BAND', '0.15'))
 SMOOTH = int(os.environ.get('PT_SMOOTH', '5'))
 DTYPE = os.environ.get('PT_DTYPE', 'float32')
+# 'tiny-test' (default) or 'swin-tiny' (VERDICT r4 #5: a REAL backbone arm —
+# swin-tiny geometry exercises shifted windows, even-depth stages and
+# patch merging at real channel counts, which the tiny config bypasses;
+# heads stay compact to keep the torch-CPU arm affordable)
+ARCH = os.environ.get('PT_ARCH', 'tiny-test')
 
 
 def _flush_partial(tag: str, losses: list) -> None:
@@ -78,32 +83,47 @@ def build_pair(num_labels: int = 2, points: int = POINTS):
     from weed_instance_segmentation_tpu.models.mask2former import Mask2Former
 
     torch.manual_seed(1)
-    tiny = dict(embed_dim=16, depths=[1, 1, 1, 1], num_heads=[1, 2, 2, 2],
-                window_size=4, drop_path_rate=0.0, hidden_dropout_prob=0.0,
-                attention_probs_dropout_prob=0.0)
+    if ARCH == 'swin-tiny':
+        # real swin-tiny backbone (HF SwinConfig defaults: shifted windows
+        # kick in from block 2 of every stage, patch merging between stages)
+        # with compact heads — the backbone is what this arm scales up
+        swin_kw = dict(embed_dim=96, depths=[2, 2, 6, 2],
+                       num_heads=[3, 6, 12, 24], window_size=7,
+                       drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+        head_kw = dict(feature_size=64, mask_feature_size=64, hidden_dim=64,
+                       encoder_feedforward_dim=64, dim_feedforward=128,
+                       encoder_layers=2, decoder_layers=4,
+                       num_attention_heads=4, num_queries=20)
+        our_swin = dict(embed_dim=96, depths=(2, 2, 6, 2),
+                        num_heads=(3, 6, 12, 24), window_size=7,
+                        drop_path_rate=0.0)
+    else:
+        swin_kw = dict(embed_dim=16, depths=[1, 1, 1, 1],
+                       num_heads=[1, 2, 2, 2], window_size=4,
+                       drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+        head_kw = dict(feature_size=32, mask_feature_size=32, hidden_dim=32,
+                       encoder_feedforward_dim=32, dim_feedforward=64,
+                       encoder_layers=2, decoder_layers=4,
+                       num_attention_heads=2, num_queries=10)
+        our_swin = dict(embed_dim=16, depths=(1, 1, 1, 1),
+                        num_heads=(1, 2, 2, 2), window_size=4,
+                        drop_path_rate=0.0)
     hf_cfg = hf_m2f.Mask2FormerConfig(
         backbone_config=HFSwinConfig(
             image_size=224, patch_size=4, num_channels=3,
             out_features=['stage1', 'stage2', 'stage3', 'stage4'],
-            use_absolute_embeddings=False, **tiny,
+            use_absolute_embeddings=False, **swin_kw,
         ),
-        feature_size=32, mask_feature_size=32, hidden_dim=32,
-        encoder_feedforward_dim=32, dim_feedforward=64,
-        encoder_layers=2, decoder_layers=4, num_attention_heads=2,
-        num_queries=10, num_labels=num_labels, dropout=0.0,
-        train_num_points=points,
+        num_labels=num_labels, dropout=0.0,
+        train_num_points=points, **head_kw,
     )
     hf = hf_m2f.Mask2FormerForUniversalSegmentation(hf_cfg)
 
     cfg = Mask2FormerConfig(
-        backbone_config=SwinConfig(
-            embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2),
-            window_size=4, drop_path_rate=0.0,
-        ),
-        feature_size=32, mask_feature_size=32, hidden_dim=32,
-        encoder_feedforward_dim=32, dim_feedforward=64,
-        encoder_layers=2, decoder_layers=4, num_attention_heads=2,
-        num_queries=10, num_labels=num_labels, train_num_points=points,
+        backbone_config=SwinConfig(**our_swin),
+        num_labels=num_labels, train_num_points=points, **head_kw,
     )
     params = convert_hf_state_dict(torch_state_dict_to_numpy(hf), cfg)
     import jax.numpy as jnp
@@ -321,6 +341,7 @@ def run_study(steps: int = STEPS, lr: float = LR, hw: int = HW,
     s_ours, s_torch = smooth(ours), smooth(torch_losses)
     rel = np.abs(s_ours - s_torch) / np.maximum(np.abs(s_torch), 1e-9)
     record = {
+        'arch': ARCH,
         'steps': steps, 'lr': lr, 'hw': hw, 'n_images': n_images,
         'batch': batch, 'points': POINTS, 'smooth_k': SMOOTH,
         'ours_dtype': DTYPE, 'torch_dtype': 'float32',

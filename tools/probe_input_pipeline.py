@@ -121,15 +121,22 @@ def main():
             return y @ y * (1.0 / n)
         return jax.lax.fori_loop(0, iters, body, x)
 
-    jax.block_until_ready(burn(x, 1))
+    def drain(out) -> None:
+        # tunnel rule (tools/README.md): block_until_ready alone has
+        # mis-measured by 600× on the axon backend (the round-4 record's
+        # synthetic_step_ms=0.1 was this artifact); a scalar fetch is the
+        # only reliable execution barrier
+        float(jnp.asarray(out).reshape(-1)[0])
+
+    drain(burn(x, 1))
     t0 = time.perf_counter()
-    jax.block_until_ready(burn(x, 2))
-    per2 = time.perf_counter() - t0
-    iters = max(2, int(2 * 0.7 / per2))  # aim ~700 ms
-    jax.block_until_ready(burn(x, iters))
+    drain(burn(x, 64))
+    per64 = time.perf_counter() - t0
+    iters = max(2, int(64 * 0.7 / per64))  # aim ~700 ms
+    drain(burn(x, iters))
     t0 = time.perf_counter()
     for _ in range(3):
-        jax.block_until_ready(burn(x, iters))
+        drain(burn(x, iters))
     step_s = (time.perf_counter() - t0) / 3
     rec['synthetic_step_ms'] = round(1000 * step_s, 1)
 
@@ -144,10 +151,61 @@ def main():
         jax.block_until_ready(jax.device_put(b, dev))
         overlap_ms.append(1000 * (time.perf_counter() - t0))
         t0 = time.perf_counter()
-        jax.block_until_ready(out)    # remaining step time
+        drain(out)                    # remaining step time (scalar fetch)
         serial_ms.append(1000 * (time.perf_counter() - t0))
     rec['put_during_step_ms'] = round(float(np.median(overlap_ms)), 1)
     rec['step_remainder_after_put_ms'] = round(float(np.median(serial_ms)), 1)
+
+    # (b2) order swap — issue the put FIRST (async), dispatch the step
+    # immediately, then block on both. If the runtime can run DMA and
+    # compute concurrently the wall is ~step; if it serializes in either
+    # order the wall is ~step + put. (VERDICT r5 #4: decide whether the
+    # round-4 'serializes' verdict is an ordering artifact or a runtime
+    # property.)
+    walls = []
+    for k in range(REPS):
+        b = enc[k % len(enc)]
+        t0 = time.perf_counter()
+        db = jax.device_put(b, dev)   # async issue
+        out = burn(x, iters)
+        drain(out)
+        jax.block_until_ready(db)
+        walls.append(1000 * (time.perf_counter() - t0))
+    rec['put_first_then_step_wall_ms'] = round(float(np.median(walls)), 1)
+
+    # (b3) threaded put — a producer thread calls device_put + block while
+    # the main thread blocks on the running step (exactly the shape of the
+    # train loop's prefetch thread). Records how long the THREAD's put took
+    # and the combined wall.
+    import threading
+
+    thread_put_ms = []
+    walls = []
+    for k in range(REPS):
+        b = enc[k % len(enc)]
+        done = {}
+
+        def _put():
+            t1 = time.perf_counter()
+            done['db'] = jax.device_put(b, dev)
+            jax.block_until_ready(done['db'])
+            done['ms'] = 1000 * (time.perf_counter() - t1)
+
+        t0 = time.perf_counter()
+        out = burn(x, iters)
+        th = threading.Thread(target=_put)
+        th.start()
+        drain(out)
+        th.join()
+        walls.append(1000 * (time.perf_counter() - t0))
+        thread_put_ms.append(done['ms'])
+    rec['threaded_put_ms'] = round(float(np.median(thread_put_ms)), 1)
+    rec['threaded_put_wall_ms'] = round(float(np.median(walls)), 1)
+    if (rec['put_first_then_step_wall_ms'] < rec['synthetic_step_ms']
+            + 0.5 * rec['put_encoded_ms']):
+        rec['overlap_order_swap'] = 'overlaps when the put is issued first'
+    else:
+        rec['overlap_order_swap'] = 'serializes regardless of issue order'
     # verdict: if put_during_step ≈ put idle AND remainder ≈ step - put,
     # the transfer rode the step's shadow (overlap). If put_during_step
     # ≈ step (blocked until the step finished) or remainder ≈ full step
@@ -167,7 +225,7 @@ def main():
     # (c) end-to-end pipelined mini-loop with the synthetic step, wire on/off
     for name, payloads in (('encoded', enc), ('plain', batches)):
         it_batches = payloads * 2
-        jax.block_until_ready(burn(x, iters))
+        drain(burn(x, iters))
         t0 = time.perf_counter()
         pending = None
         from weed_instance_segmentation_tpu.datasets.loader import prefetch_iterator
@@ -178,16 +236,16 @@ def main():
 
         for db in prefetch_iterator(gen(), depth=2):
             if pending is not None:
-                jax.block_until_ready(pending)
+                drain(pending)
             pending = burn(x, iters)
-        jax.block_until_ready(pending)
+        drain(pending)
         wall = (time.perf_counter() - t0) / len(it_batches)
         rec[f'pipelined_{name}_wall_ms'] = round(1000 * wall, 1)
         rec[f'pipelined_{name}_gap_ms'] = round(1000 * wall - rec['synthetic_step_ms'], 1)
 
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), 'records',
-        'probe_input_pipeline.json',
+        f'probe_input_pipeline{os.environ.get("PROBE_OUT_SUFFIX", "")}.json',
     )
     with open(out_path, 'w') as f:
         json.dump(rec, f, indent=2)
