@@ -16,14 +16,19 @@ logic had never been driven by a real generalization signal. This gate:
    best-val checkpoint was re-saved at least twice (selection actually
    moved), and held-out test mAP@50 / mAP clear the bars.
 
-Thresholds, derived like the overfit gate's (worst passing run − margin):
-the first full CPU run scored test mAP 0.83 / mAP@50 0.96 with val loss
-6.9 → 2.1; bars are map50 ≥ 0.80, map ≥ 0.70, final val < half initial.
+Calibration (round 5, CPU tiny-test @128²): generalization here is
+DATA-limited, not step-limited — held-out test mAP@50 scaled 0.227 (16
+train imgs / 320 steps) → 0.562 (16/1200; plateaued, a 3200-step run
+overfit past epoch ~145 with best-val selection correctly shielding the
+test score) → 0.733 (48/2400) → **0.9974 with mAP 0.9052** (96 imgs /
+80 epochs / 3840 steps, the default config). Thresholds derive from that
+passing record with ~0.10 margin: map50 ≥ 0.90, map ≥ 0.80, plus final
+val < half initial and ≥ 2 best-val improvements.
 
-Env knobs: GG_ARCH (tiny-test), GG_STEPS→GG_EPOCHS (40), GG_HW (128),
-GG_BATCH (2), GG_TRAIN/GG_VAL/GG_TEST split sizes (16/6/6), GG_LR (1e-4),
-GG_DTYPE (float32), GG_OUT (record path), GG_MAP50_MIN / GG_MAP_MIN.
-Exit 0 iff the gate passes.
+Env knobs: GG_ARCH (tiny-test), GG_EPOCHS (80), GG_HW (128),
+GG_BATCH (2), GG_TRAIN/GG_VAL/GG_TEST split sizes (96/12/12), GG_LR
+(1e-4), GG_DTYPE (float32), GG_OUT (record path), GG_MAP50_MIN /
+GG_MAP_MIN. Exit 0 iff the gate passes.
 """
 
 from __future__ import annotations
@@ -40,16 +45,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from overfit_gate import make_fixture
 
 ARCH = os.environ.get('GG_ARCH', 'tiny-test')
-EPOCHS = int(os.environ.get('GG_EPOCHS', '150'))
+EPOCHS = int(os.environ.get('GG_EPOCHS', '80'))
 HW = int(os.environ.get('GG_HW', '128'))
 BATCH = int(os.environ.get('GG_BATCH', '2'))
-N_TRAIN = int(os.environ.get('GG_TRAIN', '16'))
-N_VAL = int(os.environ.get('GG_VAL', '6'))
-N_TEST = int(os.environ.get('GG_TEST', '6'))
+N_TRAIN = int(os.environ.get('GG_TRAIN', '96'))
+N_VAL = int(os.environ.get('GG_VAL', '12'))
+N_TEST = int(os.environ.get('GG_TEST', '12'))
 LR = float(os.environ.get('GG_LR', '1e-4'))
 DTYPE = os.environ.get('GG_DTYPE', 'float32')
-MAP50_MIN = float(os.environ.get('GG_MAP50_MIN', '0.80'))
-MAP_MIN = float(os.environ.get('GG_MAP_MIN', '0.70'))
+MAP50_MIN = float(os.environ.get('GG_MAP50_MIN', '0.90'))
+MAP_MIN = float(os.environ.get('GG_MAP_MIN', '0.80'))
 OUT = os.environ.get('GG_OUT', os.path.join(
     os.path.dirname(os.path.abspath(__file__)), 'records',
     'generalization_gate.json'))

@@ -113,6 +113,209 @@ def _union_length(intervals: list[tuple[int, int]]) -> int:
     return total + (cur_e - cur_s)
 
 
+def _parse_stat(buf: bytes) -> tuple[int, tuple | None]:
+    """One XStat message → (stat_metadata_id, (kind, value))."""
+    smid = 0
+    sval = None
+    for sf, _wt, sv in _fields(buf):
+        if sf == 1:
+            smid = sv
+        elif sf in (3, 4):
+            sval = ('int', sv)
+        elif sf == 6:
+            sval = ('ref', sv)
+        elif sf == 5:
+            sval = ('bytes', sv.decode('utf-8', 'replace'))
+        elif sf == 2:
+            import struct
+
+            sval = ('double',
+                    struct.unpack('<d', sv)[0] if isinstance(sv, bytes) else sv)
+    return (smid, sval)
+
+
+def parse_xspace_ops(path: str) -> list[dict]:
+    """Rich variant of :func:`parse_xspace` for per-op accounting: each
+    plane also carries ``event_metadata`` (id → {'name', 'display_name'})
+    and ``stat_metadata`` (id → name), and each event is
+    ``(metadata_id, offset_ps, duration_ps, stats)`` where ``stats`` is a
+    list of ``(stat_metadata_id, value)`` (value decoded for varint /
+    length-delimited wire types; ref-typed string stats resolve through
+    ``stat_metadata``). Wire-format fields (public tsl xplane.proto):
+
+        XPlane.event_metadata[4] / stat_metadata[5] (map: key=1, value=2)
+        XEventMetadata{ id[1], name[2], display_name[3] }
+        XEvent{ metadata_id[1], offset_ps[2], duration_ps[3], stats[4] }
+        XStat{ metadata_id[1], double[2], uint64[3], int64[4], bytes[5], ref[6] }
+    """
+    with open(path, 'rb') as f:
+        space = f.read()
+    planes = []
+    for field, _, val in _fields(space):
+        if field != 1:
+            continue
+        plane = {'name': '', 'lines': [], 'event_metadata': {},
+                 'stat_metadata': {}}
+        for pf, _, pv in _fields(val):
+            if pf == 2:
+                plane['name'] = pv.decode('utf-8', 'replace')
+            elif pf == 3:  # XPlane.lines
+                line = {'name': '', 'timestamp_ns': 0, 'events': []}
+                for lf, _, lv in _fields(pv):
+                    if lf == 2:
+                        line['name'] = lv.decode('utf-8', 'replace')
+                    elif lf == 3:
+                        line['timestamp_ns'] = lv
+                    elif lf == 4:  # XLine.events
+                        mid = off = dur = 0
+                        stats = []
+                        for ef, _, ev in _fields(lv):
+                            if ef == 1:
+                                mid = ev
+                            elif ef == 2:
+                                off = ev
+                            elif ef == 3:
+                                dur = ev
+                            elif ef == 4:  # XEvent.stats
+                                stats.append(_parse_stat(ev))
+                        line['events'].append((mid, off, dur, stats))
+                plane['lines'].append(line)
+            elif pf in (4, 5):  # event_metadata / stat_metadata map entry
+                key = None
+                entry = {'name': '', 'display_name': '', 'stats': []}
+                for mf, _, mv in _fields(pv):
+                    if mf == 1:
+                        key = mv
+                    elif mf == 2:
+                        for emf, _, emv in _fields(mv):
+                            if emf == 2:
+                                entry['name'] = emv.decode('utf-8', 'replace')
+                            elif emf == 3 and pf == 4:
+                                entry['display_name'] = emv.decode(
+                                    'utf-8', 'replace')
+                            elif emf == 5 and pf == 4:
+                                # XEventMetadata.stats — per-op invariants
+                                # (hlo_category, hlo_op, flops, ...)
+                                entry['stats'].append(_parse_stat(emv))
+                if key is not None:
+                    if pf == 4:
+                        plane['event_metadata'][key] = entry
+                    else:
+                        plane['stat_metadata'][key] = entry['name']
+        planes.append(plane)
+    return planes
+
+
+def op_breakdown(trace_dir: str, buckets: dict[str, list[str]] | None = None,
+                 top_n: int = 25) -> dict | None:
+    """Per-op-class device-time accounting from a profiler capture.
+
+    Walks the '/device:*' planes' 'XLA Ops' line (the exclusive op
+    timeline; the 'Async XLA Ops' line overlaps it and is totalled
+    separately as ``async_ms``). Each op resolves its ``hlo_category``,
+    jax scope (``tf_op``), ``flops`` and ``bytes_accessed`` from its
+    XEventMetadata stats. ``buckets`` maps bucket name → lowercase
+    substrings matched against the tf_op scope path (first hit wins;
+    unmatched → '_other'). Returns {'total_ms', 'async_ms',
+    'by_category': {cat: ms}, 'by_bucket': {bucket: {'ms', 'gflops',
+    'gbytes', 'by_category'}}, 'top_ops': [(scope, ms, category)]}
+    or None without a device plane."""
+    paths = sorted(glob.glob(
+        os.path.join(trace_dir, 'plugins', 'profile', '*', '*.xplane.pb')
+    ))
+    by_cat: dict[str, float] = {}
+    by_bucket: dict[str, dict] = {}
+    by_op: dict[str, list] = {}
+    total_ps = 0
+    async_ps = 0
+    for path in paths:
+        for plane in parse_xspace_ops(path):
+            if not plane['name'].startswith('/device:'):
+                continue
+            emeta = plane['event_metadata']
+            smeta = plane['stat_metadata']
+            # resolve per-op invariants once per metadata id
+            op_info: dict[int, tuple] = {}
+
+            def info(mid):
+                if mid not in op_info:
+                    em = emeta.get(mid, {'name': '', 'stats': []})
+                    cat = scope = None
+                    flops = nbytes = 0
+                    for smid, sval in em.get('stats', []):
+                        nm = smeta.get(smid)
+                        if sval is None:
+                            continue
+                        kind, v = sval
+                        if nm == 'hlo_category':
+                            cat = smeta.get(v) if kind == 'ref' else v
+                        elif nm == 'tf_op':
+                            scope = smeta.get(v) if kind == 'ref' else v
+                        elif nm == 'flops' and kind == 'int':
+                            flops = v
+                        elif nm == 'bytes_accessed' and kind == 'int':
+                            nbytes = v
+                    if cat is None:
+                        cat = em['name'].split(' ')[0].split('.')[0].lstrip('%') \
+                            or 'unknown'
+                    op_info[mid] = (cat, scope or em['name'], flops, nbytes)
+                return op_info[mid]
+
+            for line in plane['lines']:
+                is_async = 'Async' in line['name']
+                if 'XLA Ops' not in line['name']:
+                    continue
+                for mid, _off, dur, _stats in line['events']:
+                    if dur <= 0:
+                        continue
+                    cat, scope, flops, nbytes = info(mid)
+                    if is_async:
+                        async_ps += dur
+                        continue
+                    total_ps += dur
+                    by_cat[cat] = by_cat.get(cat, 0.0) + dur
+                    rec = by_op.setdefault(scope, [0.0, cat])
+                    rec[0] += dur
+                    if buckets:
+                        hay = scope.lower()
+                        for bname, pats in buckets.items():
+                            if any(p in hay for p in pats):
+                                break
+                        else:
+                            bname = '_other'
+                        cell = by_bucket.setdefault(
+                            bname, {'ps': 0.0, 'flops': 0, 'bytes': 0,
+                                    'cats': {}})
+                        cell['ps'] += dur
+                        cell['flops'] += flops
+                        cell['bytes'] += nbytes
+                        cell['cats'][cat] = cell['cats'].get(cat, 0.0) + dur
+    if total_ps == 0:
+        return None
+    to_ms = 1e-9
+    top = sorted(by_op.items(), key=lambda kv: -kv[1][0])[:top_n]
+    return {
+        'total_ms': round(total_ps * to_ms, 3),
+        'async_ms': round(async_ps * to_ms, 3),
+        'by_category': {k: round(v * to_ms, 3)
+                        for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])},
+        'by_bucket': {
+            k: {
+                'ms': round(cell['ps'] * to_ms, 3),
+                'gflops': round(cell['flops'] / 1e9, 2),
+                'gbytes': round(cell['bytes'] / 1e9, 3),
+                'by_category': {
+                    c: round(v * to_ms, 3)
+                    for c, v in sorted(cell['cats'].items(),
+                                       key=lambda kv: -kv[1])},
+            }
+            for k, cell in sorted(by_bucket.items(),
+                                  key=lambda kv: -kv[1]['ps'])
+        },
+        'top_ops': [(n, round(v[0] * to_ms, 3), v[1]) for n, v in top],
+    }
+
+
 def device_busy_fraction(trace_dir: str) -> float | None:
     """Device-busy fraction over the captured window: union of op-event
     intervals on '/device:*' planes divided by the first-to-last event
