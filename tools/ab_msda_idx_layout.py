@@ -14,6 +14,14 @@ b4 — microseconds of real work). Variants:
                    layouts; one relayout copy feeds the gather
 - int-barrier    — barrier + integer index math (floor→int32 once per
                    level; per-corner adds/clips in s32, halving converts)
+- flat128        — barrier + lane-dense weighted P-reduction: the gather
+                   output ``(B·Q·H·P, 32)`` bitcasts to ``(B·Q·H, 128)``
+                   (points are fastest-varying in the index layout), the
+                   weight broadcast repeats each w_p across its 32 lanes,
+                   and the P-sum becomes three static 32-lane slice adds —
+                   replacing the ``multiply_reduce_fusion`` over a
+                   ``(…, 4, 32)`` minor tile that fills only 12.5% of each
+                   (8, 128) vreg (trace finding #2)
 
 Numerics: identical indices and weights by construction (floor/clip on
 integer-valued floats commutes with int casts); asserted exact vs fused.
@@ -44,7 +52,8 @@ DTYPE = {'bf16': jnp.bfloat16, 'f32': jnp.float32}[os.environ.get('DTYPE', 'bf16
 
 
 def msda_fused_variant(value, spatial_shapes, sampling_locations,
-                       attention_weights, barrier=True, int_idx=False):
+                       attention_weights, barrier=True, int_idx=False,
+                       flat128=False):
     """msda_fused with the index-layout experiments; contract identical."""
     b, l_total, num_heads, head_dim = value.shape
     _, q, _, n_levels, n_points, _ = sampling_locations.shape
@@ -98,12 +107,26 @@ def msda_fused_variant(value, spatial_shapes, sampling_locations,
                 idx_flat = idx.reshape(-1)
                 if barrier:
                     idx_flat = jax.lax.optimization_barrier(idx_flat)
-                rows = jnp.take(
-                    table, idx_flat, axis=0, mode='clip'
-                ).reshape(b, q, num_heads, n_points, head_dim)
                 wgt = (xw * yw * valid
                        * attention_weights[:, :, :, level]).astype(dtype)
-                out = out + (rows * wgt[..., None]).sum(axis=3)
+                rows2d = jnp.take(table, idx_flat, axis=0, mode='clip')
+                if flat128:
+                    # (B·Q·H·P, D) → (B·Q·H, P·D): pure bitcast (p fastest)
+                    rows128 = rows2d.reshape(b * q * num_heads,
+                                             n_points * head_dim)
+                    w128 = jnp.repeat(
+                        wgt.reshape(-1, n_points), head_dim, axis=1)
+                    weighted = rows128 * w128
+                    # f32 accumulation matches jnp.sum's bf16→f32 promote
+                    acc = sum(
+                        weighted[:, p * head_dim:(p + 1) * head_dim]
+                        .astype(jnp.float32)
+                        for p in range(n_points)
+                    ).astype(dtype)
+                    out = out + acc.reshape(b, q, num_heads, head_dim)
+                else:
+                    rows = rows2d.reshape(b, q, num_heads, n_points, head_dim)
+                    out = out + (rows * wgt[..., None]).sum(axis=3)
 
     return out.reshape(b, q, num_heads * head_dim)
 
@@ -143,7 +166,8 @@ def main():
     value, loc, aw = make_inputs()
     ref = np.asarray(msda_fused(value, SHAPES, loc, aw), np.float32)
     for name, kw in (('barrier', dict(barrier=True)),
-                     ('int-barrier', dict(barrier=True, int_idx=True))):
+                     ('int-barrier', dict(barrier=True, int_idx=True)),
+                     ('flat128', dict(barrier=True, flat128=True))):
         got = np.asarray(
             msda_fused_variant(value, SHAPES, loc, aw, **kw), np.float32)
         err = np.abs(got - ref).max()
@@ -159,8 +183,13 @@ def main():
                 lambda v, l, a: msda_fused_variant(v, SHAPES, l, a,
                                                    int_idx=True),
                 value, loc, aw)
+    t4 = timeit('flat128 + barrier',
+                lambda v, l, a: msda_fused_variant(v, SHAPES, l, a,
+                                                   flat128=True),
+                value, loc, aw)
     print(f'\nbarrier vs shipped: {t1 / t2:.2f}x   '
-          f'int+barrier vs shipped: {t1 / t3:.2f}x')
+          f'int+barrier vs shipped: {t1 / t3:.2f}x   '
+          f'flat128 vs shipped: {t1 / t4:.2f}x')
 
 
 if __name__ == '__main__':

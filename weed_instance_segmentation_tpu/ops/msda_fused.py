@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -82,8 +83,17 @@ def msda_fused(
                 xw = jnp.where(dx, wx1, 1.0 - wx1)
                 valid = y_ok & (ix >= 0) & (ix <= wl - 1)
                 idx = base + row + jnp.clip(ix, 0, wl - 1).astype(jnp.int32)
+                # layout barrier (round-5 trace finding): without it XLA
+                # propagates the gather operand's degenerate
+                # s32[N,1]{0,1:T(1,128)} layout backward into this index
+                # arithmetic, scalarizing it to ~1 useful element/vreg
+                # (~7 ms/layer of 'data formatting' at b4 800²). The
+                # barrier compiles the arithmetic dense and pays one
+                # relayout copy instead: 88.6 → 80.9 ms/layer on v5e,
+                # bit-exact (tools/ab_msda_idx_layout.py).
+                idx_flat = jax.lax.optimization_barrier(idx.reshape(-1))
                 rows = jnp.take(
-                    table, idx.reshape(-1), axis=0, mode='clip'
+                    table, idx_flat, axis=0, mode='clip'
                 ).reshape(b, q, num_heads, n_points, head_dim)
                 wgt = (xw * yw * valid * attention_weights[:, :, :, level]).astype(dtype)
                 out = out + (rows * wgt[..., None]).sum(axis=3)

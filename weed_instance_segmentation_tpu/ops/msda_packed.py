@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -76,7 +77,11 @@ def msda_packed(
             + int(level_offsets[level])
             + (y0c * wl + x0c).astype(jnp.int32)
         )  # (B, Q, H, P)
-        rows = jnp.take(table, idx.reshape(-1), axis=0, mode='clip').reshape(
+        # layout barrier: keep the index arithmetic off the gather
+        # operand's scalarized s32[N,1]{0,1:T(1,128)} layout (same round-5
+        # trace finding as ops/msda_fused.py; bit-exact)
+        idx_flat = jax.lax.optimization_barrier(idx.reshape(-1))
+        rows = jnp.take(table, idx_flat, axis=0, mode='clip').reshape(
             b, q, num_heads, n_points, 4, head_dim
         )
 
