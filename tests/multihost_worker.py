@@ -55,6 +55,23 @@ def build_dataset(n_samples: int = 10, h: int = 64, w: int = 64):
     return data
 
 
+def _kv_barrier(name: str, pid: int, nproc: int) -> None:
+    """Rendezvous via the coordination-service KV store — NOT a gloo
+    collective. Gloo context initialization has a hard 30 s timeout baked
+    into the C++ KV store, so any program point where one process can lag
+    more than 30 s behind its partner (first train-step compile on a
+    starved 1-core CI host: two workers contending for one core) must be
+    lined up BEFORE the first collective executes. The coordination
+    service's own timeouts are minutes, so this barrier absorbs the skew
+    the gloo handshake cannot."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    client.key_value_set(f'{name}/{pid}', 'ok')
+    for p in range(nproc):
+        client.blocking_key_value_get(f'{name}/{p}', 600_000)
+
+
 def main():
     cfg = json.loads(sys.argv[1])
 
@@ -117,8 +134,16 @@ def main():
 
     rng = jax.random.PRNGKey(42)
     losses = []
+    precompiled = not multihost
     for _ in range(start_epoch, int(cfg.get('epochs', 2))):
         for batch in _device_batches(loader, (64, 64), 4, mesh, batch_size):
+            if not precompiled:
+                # compile WITHOUT executing (lower/compile runs no
+                # collective), then rendezvous so both processes enter the
+                # first gloo context init together (see _kv_barrier)
+                train_step.lower(state, batch, rng).compile()
+                _kv_barrier('train_step_compiled', cfg['pid'], cfg['nproc'])
+                precompiled = True
             state, loss = train_step(state, batch, rng)
             losses.append(float(loss))
 
